@@ -1,0 +1,15 @@
+"""libzseek_tpu: a TPU-native seekable-compression framework.
+
+Brand-new implementation (JAX/XLA + Pallas compute path, C++ host runtime) of
+the capabilities of foxeng/libzseek: sequential-write / random-read compressed
+archives in the zstd seekable format and LZ4 frame format, where each frame is
+an independently compressed unit indexed by an appended skippable-frame seek
+table.  Unlike the reference — a C wrapper over libzstd/liblz4 — the codecs
+themselves (LZ77 match finding, LZ4 token packing, zstd FSE/Huffman entropy
+coding) run as batched, fully-vectorized TPU programs, and frames are the unit
+of data parallelism across chips of a pod slice.
+"""
+
+__version__ = "0.1.0"
+
+from libzseek_tpu.errors import ZseekError  # noqa: F401
