@@ -13,3 +13,9 @@ of data parallelism across chips of a pod slice.
 __version__ = "0.1.0"
 
 from libzseek_tpu.errors import ZseekError  # noqa: F401
+from libzseek_tpu.api import (  # noqa: F401
+    Reader, Writer, open_reader, open_writer,
+    zseek_pread, zseek_read, zseek_reader_close, zseek_reader_open,
+    zseek_reader_stats, zseek_write, zseek_writer_close, zseek_writer_open,
+    zseek_writer_stats,
+)

@@ -1,0 +1,116 @@
+"""Public API.
+
+Pythonic surface (Writer/Reader/open_writer/open_reader) plus a
+C-API-shaped compatibility layer mirroring the reference's exported symbols
+(/root/reference/src/zseek.h:225-443) so users porting from libzseek find
+one-to-one equivalents:
+
+    zseek_writer_open(file, ...)   -> Writer
+    zseek_write(writer, buf)
+    zseek_writer_close(writer)     -> WriterStats
+    zseek_writer_stats(writer)
+    zseek_reader_open(file, ...)   -> Reader
+    zseek_pread(reader, size, offset)
+    zseek_read(reader, size)
+    zseek_reader_close(reader)
+    zseek_reader_stats(reader)
+
+Errors raise ZseekError subclasses (the errbuf convention's typed analog).
+"""
+
+from __future__ import annotations
+
+import io
+from pathlib import Path
+
+from libzseek_tpu.runtime.io import FileIO
+from libzseek_tpu.runtime.reader import Reader
+from libzseek_tpu.runtime.stats import ReaderStats, WriterStats
+from libzseek_tpu.runtime.writer import DEFAULT_MIN_FRAME_SIZE, Writer
+
+__all__ = [
+    "Writer", "Reader", "open_writer", "open_reader",
+    "zseek_writer_open", "zseek_write", "zseek_writer_close",
+    "zseek_writer_stats", "zseek_reader_open", "zseek_pread", "zseek_read",
+    "zseek_reader_close", "zseek_reader_stats",
+]
+
+
+def _as_io(f):
+    if isinstance(f, (str, Path)):
+        raise TypeError("pass a file object or use open_writer/open_reader")
+    return f
+
+
+def open_writer(path_or_file, codec: str = "zstd", *, level: int | None = None,
+                min_frame_size: int = DEFAULT_MIN_FRAME_SIZE,
+                batch_frames: int = 8, workers: int = 1) -> Writer:
+    if isinstance(path_or_file, (str, Path)):
+        f = open(path_or_file, "wb")
+        sink = FileIO(f)
+        w = Writer(sink, codec, level=level, min_frame_size=min_frame_size,
+                   batch_frames=batch_frames, workers=workers)
+        w._owned_file = f  # closed by Writer.close via __exit__ chain
+        _orig_close = w.close
+
+        def close():
+            st = _orig_close()
+            f.close()
+            return st
+
+        w.close = close
+        return w
+    sink = path_or_file if hasattr(path_or_file, "pread") or hasattr(path_or_file, "write") else FileIO(path_or_file)
+    if isinstance(path_or_file, io.IOBase):
+        sink = FileIO(path_or_file)
+    return Writer(sink, codec, level=level, min_frame_size=min_frame_size,
+                  batch_frames=batch_frames, workers=workers)
+
+
+def open_reader(path_or_file, *, cache_frames: int = 8) -> Reader:
+    if isinstance(path_or_file, (str, Path)):
+        f = open(path_or_file, "rb")
+        return Reader(FileIO(f), cache_frames=cache_frames)
+    if isinstance(path_or_file, io.IOBase):
+        return Reader(FileIO(path_or_file), cache_frames=cache_frames)
+    return Reader(path_or_file, cache_frames=cache_frames)
+
+
+# --- C-API-shaped compatibility layer ---
+
+def zseek_writer_open(file, codec: str = "zstd", level: int | None = None,
+                      min_frame_size: int = DEFAULT_MIN_FRAME_SIZE) -> Writer:
+    return open_writer(file, codec, level=level, min_frame_size=min_frame_size)
+
+
+def zseek_write(writer: Writer, buf) -> bool:
+    writer.write(buf)
+    return True
+
+
+def zseek_writer_close(writer: Writer) -> WriterStats:
+    return writer.close()
+
+
+def zseek_writer_stats(writer: Writer) -> WriterStats:
+    return writer.stats()
+
+
+def zseek_reader_open(file, cache_size: int = 8) -> Reader:
+    return open_reader(file, cache_frames=cache_size)
+
+
+def zseek_pread(reader: Reader, size: int, offset: int) -> bytes:
+    return reader.pread(size, offset)
+
+
+def zseek_read(reader: Reader, size: int) -> bytes:
+    return reader.read(size)
+
+
+def zseek_reader_close(reader: Reader) -> ReaderStats:
+    return reader.close()
+
+
+def zseek_reader_stats(reader: Reader) -> ReaderStats:
+    return reader.stats()

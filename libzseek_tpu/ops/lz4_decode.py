@@ -1,4 +1,4 @@
-"""LZ4 block decoder as a batched TPU program.
+"""LZ4 decoder as a batched TPU program.
 
 Two phases, mirroring how a decoder must treat the format's two kinds of
 state (reference scalar equivalent: liblz4 inside zseek_pread_lz4,
@@ -6,17 +6,19 @@ state (reference scalar equivalent: liblz4 inside zseek_pread_lz4,
 
   A. **Sequence parse** — the token stream is inherently sequential *per
      block*, so we run one jax.lax.while_loop whose state is vectorized over
-     the batch of blocks (lanes).  Extension-byte runs (0xFF chains) are
-     pre-computed for the whole buffer in parallel, so each step consumes an
-     entire sequence header in O(1) gathers.
+     all blocks of all frames in the batch (lanes).  Extension-byte runs
+     (0xFF chains) are pre-computed for the whole buffer in parallel, so each
+     step consumes an entire sequence header in O(1) gathers.
 
-  B. **Sequence execution** — literals land via one batched scatter; match
-     back-references form copy chains (offset < length allowed) that are
-     resolved with log2(N) pointer-doubling rounds instead of a serial byte
-     copy.
+  B. **Sequence execution** — per-frame: block outputs are concatenated
+     (exclusive scan of parsed block sizes), literals land via one batched
+     scatter, and match back-references form copy chains (offset < length
+     allowed) resolved with log2(F) pointer-doubling rounds instead of a
+     serial byte copy.  Because execution is frame-wide, *linked* LZ4F frames
+     (the stock/reference default, where matches reach into previous blocks)
+     decode with the same code path as independent ones.
 
-Returns per-row validity flags; a malformed block yields ok=False rather
-than undefined behavior.
+Malformed input yields ok=False per frame rather than undefined behavior.
 """
 
 from __future__ import annotations
@@ -30,28 +32,20 @@ import numpy as np
 from libzseek_tpu.ops import common as C
 
 
-@partial(jax.jit, static_argnames=("out_size", "max_seqs"))
-def lz4_decode_blocks(comp: jnp.ndarray, comp_lens: jnp.ndarray,
-                      out_size: int, max_seqs: int | None = None):
-    """Decode a batch of independent LZ4 blocks.
+def _parse_blocks(comp: jnp.ndarray, comp_lens: jnp.ndarray, max_seqs: int,
+                  linked: bool):
+    """Phase A over a flat batch of blocks: comp (L, M), comp_lens (L,).
 
-    comp: (B, M) uint8 zero-padded; comp_lens: (B,) int32.
-    out_size: static decompressed capacity per row.
-    Returns (out (B, out_size) uint8, out_lens (B,) int32, ok (B,) bool).
-    """
-    B, Mcap = comp.shape
-    N = out_size
-    if max_seqs is None:
-        # a sequence is >= 3 bytes (token + offset) except the final one
-        max_seqs = min(Mcap // 3 + 2, N // 4 + 2)
-
+    Returns per-sequence arrays (L, max_seqs): lit_src, lit_len, lit_dst
+    (block-local), m_off, m_len, m_dst (block-local), plus out_lens (L,) and
+    bad (L,)."""
+    L, Mcap = comp.shape
     ff = C.ff_run_length(comp, 0xFF)
     compi = comp.astype(jnp.int32)
 
     def g(idx):
         return C.take1(compi, idx)
 
-    # --- phase A: parse ---
     def cond(state):
         k, ip, op, active, bad, *_ = state
         return (k < max_seqs) & jnp.any(active)
@@ -61,7 +55,6 @@ def lz4_decode_blocks(comp: jnp.ndarray, comp_lens: jnp.ndarray,
          lit_src, lit_len, lit_dst, m_off, m_len, m_dst) = state
         token = g(ip)
         ll0 = token >> 4
-        # literal length extension
         ll_ext = ll0 == 15
         ffr = C.take1(ff, ip + 1)
         ll_extbytes = jnp.where(ll_ext, ffr + 1, 0)
@@ -69,7 +62,6 @@ def lz4_decode_blocks(comp: jnp.ndarray, comp_lens: jnp.ndarray,
         src = ip + 1 + ll_extbytes
         dst = op
         lit_end = src + ll
-        # last sequence: literals run to end of block, no match
         is_last = lit_end >= comp_lens
         ml0 = token & 15
         off = g(lit_end) | (g(lit_end + 1) << 8)
@@ -79,11 +71,11 @@ def lz4_decode_blocks(comp: jnp.ndarray, comp_lens: jnp.ndarray,
         ml = jnp.where(ml_ext, 4 + 15 + 255 * ffr2 + g(lit_end + 2 + ffr2), ml0 + 4)
         ml = jnp.where(is_last, 0, ml)
         match_dst = op + ll
-        # malformed-block checks
         overrun = (lit_end > comp_lens) | \
             (~is_last & (lit_end + 2 + ml_extbytes > comp_lens)) | \
-            (match_dst + ml > N) | \
-            (~is_last & ((off == 0) | (off > match_dst)))
+            (~is_last & (off == 0))
+        if not linked:
+            overrun = overrun | (~is_last & (off > match_dst))
         bad = bad | (active & overrun)
         upd = active & ~bad
 
@@ -103,46 +95,110 @@ def lz4_decode_blocks(comp: jnp.ndarray, comp_lens: jnp.ndarray,
         return (k + 1, ip, op, active, bad,
                 lit_src, lit_len, lit_dst, m_off, m_len, m_dst)
 
-    z = jnp.zeros((B,), jnp.int32)
-    zk = jnp.zeros((B, max_seqs), jnp.int32)
-    active0 = comp_lens > 0
-    state = (jnp.int32(0), z, z, active0, jnp.zeros((B,), bool),
+    z = jnp.zeros((L,), jnp.int32)
+    zk = jnp.zeros((L, max_seqs), jnp.int32)
+    state = (jnp.int32(0), z, z, comp_lens > 0, jnp.zeros((L,), bool),
              zk, zk, zk, zk, zk, zk)
     (k, ip, op, active, bad,
      lit_src, lit_len, lit_dst, m_off, m_len, m_dst) = jax.lax.while_loop(
         cond, body, state)
     bad = bad | active  # ran out of sequence budget mid-block
-    out_lens = op
+    return lit_src, lit_len, lit_dst, m_off, m_len, m_dst, op, bad
 
-    # --- phase B: execute ---
-    nseq = max_seqs
-    seq_valid = lit_len > 0
-    # literals: comp-stream membership -> output scatter.  region_index ranks
-    # positions among *masked* region starts, so gather through rank-compacted
-    # tables (zero-literal sequences would otherwise shift the mapping).
-    is_lit_src = C.fill_regions(Mcap, lit_src, lit_src + lit_len, seq_valid)
-    src_region = C.region_index(Mcap, lit_src, seq_valid)
+
+@partial(jax.jit, static_argnames=("out_size", "max_seqs", "linked"))
+def lz4_decode_frames(comp: jnp.ndarray, comp_lens: jnp.ndarray,
+                      uncompressed: jnp.ndarray, out_size: int,
+                      max_seqs: int | None = None, linked: bool = False):
+    """Decode a batch of frames, each given as K zero-padded blocks.
+
+    comp: (B, K, M) uint8; comp_lens: (B, K) int32 (0 = absent block);
+    uncompressed: (B, K) bool (LZ4F uncompressed-block flag).
+    out_size: static per-frame decompressed capacity.
+    Returns (out (B, out_size) uint8, out_lens (B,) int32, ok (B,) bool).
+    """
+    B, K, Mcap = comp.shape
+    F = out_size
+    if max_seqs is None:
+        max_seqs = min(Mcap // 3 + 2, F // 4 + 2)
+
+    flat = comp.reshape(B * K, Mcap)
+    flat_lens = comp_lens.reshape(B * K)
+    flat_unc = uncompressed.reshape(B * K)
+    # uncompressed blocks skip the parser entirely
+    parse_lens = jnp.where(flat_unc, 0, flat_lens)
+    (lit_src, lit_len, lit_dst, m_off, m_len, m_dst,
+     blk_out, bad) = _parse_blocks(flat, parse_lens, max_seqs, linked)
+    # inject a single whole-block literal sequence for uncompressed blocks
+    lit_src = lit_src.at[:, 0].set(jnp.where(flat_unc, 0, lit_src[:, 0]))
+    lit_len = lit_len.at[:, 0].set(jnp.where(flat_unc, flat_lens, lit_len[:, 0]))
+    lit_dst = lit_dst.at[:, 0].set(jnp.where(flat_unc, 0, lit_dst[:, 0]))
+    m_len = m_len.at[:, 0].set(jnp.where(flat_unc, 0, m_len[:, 0]))
+    blk_out = jnp.where(flat_unc, flat_lens, blk_out)
+
+    # per-frame block output bases (exclusive scan)
+    blk_out_bk = blk_out.reshape(B, K)
+    base = C.exclusive_cumsum(blk_out_bk, axis=1)
+    out_lens = jnp.sum(blk_out_bk, axis=1)
+
+    # flatten sequences frame-wide: (B, K*S)
+    S = max_seqs
+
+    def to_frame(arr):
+        return arr.reshape(B, K * S)
+
+    base_rep = jnp.repeat(base, S, axis=1)              # (B, K*S)
+    blk_idx = np.repeat(np.arange(K, dtype=np.int32), S)[None, :]
+    lit_src_f = to_frame(lit_src) + blk_idx * Mcap
+    lit_len_f = to_frame(lit_len)
+    lit_dst_f = to_frame(lit_dst) + base_rep
+    m_off_f = to_frame(m_off)
+    m_len_f = to_frame(m_len)
+    m_dst_f = to_frame(m_dst) + base_rep
+    bad_f = jnp.any(bad.reshape(B, K), axis=1)
+
+    comp_frame = comp.reshape(B, K * Mcap)
+    nseq = K * S
+
+    # literals: comp-stream membership -> output scatter, via rank-compacted
+    # tables (region_index ranks among masked starts only)
+    seq_valid = lit_len_f > 0
+    is_lit_src = C.fill_regions(K * Mcap, lit_src_f, lit_src_f + lit_len_f, seq_valid)
+    src_region = C.region_index(K * Mcap, lit_src_f, seq_valid)
     lr_rank = jnp.cumsum(seq_valid.astype(jnp.int32), axis=1) - 1
     lit_src_tab = C.scatter1_set(jnp.zeros((B, nseq), jnp.int32), lr_rank,
-                                 lit_src, seq_valid)
+                                 lit_src_f, seq_valid)
     lit_dst_tab = C.scatter1_set(jnp.zeros((B, nseq), jnp.int32), lr_rank,
-                                 lit_dst, seq_valid)
-    jpos = jnp.broadcast_to(np.arange(Mcap, dtype=np.int32)[None, :], (B, Mcap))
+                                 lit_dst_f, seq_valid)
+    jpos = jnp.broadcast_to(np.arange(K * Mcap, dtype=np.int32)[None, :],
+                            (B, K * Mcap))
     ldst = C.take1(lit_dst_tab, src_region) + \
         (jpos - C.take1(lit_src_tab, src_region))
-    val_layer = jnp.zeros((B, N), jnp.int32)
-    val_layer = C.scatter1_set(val_layer, ldst, compi, is_lit_src)
-    # matches: output-stream membership -> back-reference indices
-    m_valid = m_len > 0
-    in_match = C.fill_regions(N, m_dst, m_dst + m_len, m_valid)
-    m_region = C.region_index(N, m_dst, m_valid)
+    val_layer = jnp.zeros((B, F), jnp.int32)
+    val_layer = C.scatter1_set(val_layer, ldst,
+                               comp_frame.astype(jnp.int32), is_lit_src)
+
+    # matches: output membership -> frame-wide back references
+    m_valid = m_len_f > 0
+    in_match = C.fill_regions(F, m_dst_f, m_dst_f + m_len_f, m_valid)
+    m_region = C.region_index(F, m_dst_f, m_valid)
     mr_rank = jnp.cumsum(m_valid.astype(jnp.int32), axis=1) - 1
     m_off_tab = C.scatter1_set(jnp.ones((B, nseq), jnp.int32), mr_rank,
-                               m_off, m_valid)
-    ipos = jnp.broadcast_to(np.arange(N, dtype=np.int32)[None, :], (B, N))
-    src0 = jnp.where(in_match, ipos - C.take1(m_off_tab, m_region), ipos)
-    src0 = jnp.clip(src0, 0, N - 1)
-    rounds = max(1, int(np.ceil(np.log2(max(2, N)))))
+                               m_off_f, m_valid)
+    ipos = jnp.broadcast_to(np.arange(F, dtype=np.int32)[None, :], (B, F))
+    ref = ipos - C.take1(m_off_tab, m_region)
+    bad_f = bad_f | jnp.any(in_match & (ref < 0), axis=1)
+    src0 = jnp.where(in_match, jnp.clip(ref, 0, F - 1), ipos)
+    rounds = max(1, int(np.ceil(np.log2(max(2, F)))))
     src_final = C.resolve_copy_chains(src0, rounds)
     out = C.take1(val_layer, src_final).astype(jnp.uint8)
-    return out, out_lens, ~bad
+    return out, out_lens, ~bad_f
+
+
+def lz4_decode_blocks(comp: jnp.ndarray, comp_lens: jnp.ndarray,
+                      out_size: int, max_seqs: int | None = None):
+    """Single-block convenience wrapper (independent blocks)."""
+    B, M = comp.shape
+    return lz4_decode_frames(
+        comp.reshape(B, 1, M), comp_lens.reshape(B, 1),
+        jnp.zeros((B, 1), bool), out_size, max_seqs=max_seqs, linked=False)

@@ -1,0 +1,142 @@
+"""Frame codecs: tie the TPU block kernels to the container formats.
+
+A codec turns whole zseek frames (the unit of random access and of data
+parallelism) into container bytes and back.  The reference delegates this to
+libzstd/liblz4 scalar calls per frame (/root/reference/src/compress.c:653-
+786, src/decompress.c:377-683); here every frame in a batch — and every
+64 KiB block within — is one row of a single batched TPU program.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libzseek_tpu.errors import FormatError
+from libzseek_tpu.format import lz4f
+from libzseek_tpu.ops.lz4_decode import lz4_decode_frames
+from libzseek_tpu.ops.lz4_encode import lz4_compress_bound, lz4_encode_blocks
+
+BLOCK = 1 << 16  # 64 KiB blocks, like the reference writer
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class LZ4Codec:
+    """LZ4F frames with 64 KiB independent blocks.
+
+    level maps to match-candidate granularity (finer = better ratio,
+    more sequential scan steps), the analog of LZ4's acceleration knob.
+    """
+
+    name = "lz4"
+
+    def __init__(self, level: int = 0, max_batch_blocks: int = 256):
+        self.level = level
+        self.seg_size = 8 if level < 0 else 4
+        self.max_batch_blocks = max_batch_blocks
+
+    # --- compress ---
+
+    def compress_frames(self, frames: list[bytes | memoryview]) -> list[bytes]:
+        """Compress a list of frames; returns LZ4F container bytes per frame."""
+        if not frames:
+            return []
+        # split every frame into blocks; batch all blocks together
+        spans = []  # (frame_idx, start, size)
+        for fi, fr in enumerate(frames):
+            n = len(fr)
+            for s in range(0, n, BLOCK):
+                spans.append((fi, s, min(BLOCK, n - s)))
+        comp_payloads: list[bytes | None] = [None] * len(spans)
+        for lo in range(0, len(spans), self.max_batch_blocks):
+            chunk = spans[lo: lo + self.max_batch_blocks]
+            B = len(chunk)
+            X = np.zeros((B, BLOCK), np.uint8)
+            lens = np.zeros((B,), np.int32)
+            for i, (fi, s, sz) in enumerate(chunk):
+                X[i, :sz] = np.frombuffer(frames[fi], np.uint8, sz, s)
+                lens[i] = sz
+            out, olens = lz4_encode_blocks(
+                jnp.asarray(X), jnp.asarray(lens), seg_size=self.seg_size)
+            out = np.asarray(out)
+            olens = np.asarray(olens)
+            for i in range(B):
+                comp_payloads[lo + i] = out[i, : olens[i]].tobytes()
+        # assemble frames; per block choose compressed vs stored
+        out_frames = []
+        cursor = 0
+        for fi, fr in enumerate(frames):
+            n = len(fr)
+            nblocks = math.ceil(n / BLOCK) if n else 0
+            blocks = []
+            for b in range(nblocks):
+                fidx, s, sz = spans[cursor]
+                assert fidx == fi
+                payload = comp_payloads[cursor]
+                cursor += 1
+                if len(payload) >= sz:  # incompressible: store raw
+                    blocks.append((bytes(fr[s: s + sz]), True))
+                else:
+                    blocks.append((payload, False))
+            out_frames.append(lz4f.assemble_frame(blocks, n))
+        return out_frames
+
+    # --- decompress ---
+
+    def decompress_frame(self, data: bytes, d_size: int) -> bytes:
+        """Decode one LZ4F frame (linked or independent) of known
+        decompressed size."""
+        out = self.decompress_frames([data], [d_size])
+        return out[0]
+
+    def decompress_frames(self, datas: list[bytes], d_sizes: list[int]) -> list[bytes]:
+        """Decode a batch of LZ4F frames.  Frames are grouped by padded
+        geometry so each group is one kernel call."""
+        parsed = []
+        for data in datas:
+            info = lz4f.parse_frame_header(data)
+            blocks, end = lz4f.parse_blocks(data, info, info.header_size)
+            parsed.append((info, blocks))
+        results: list[bytes | None] = [None] * len(datas)
+        # group by (K, M, F, linked) for static shapes
+        groups: dict[tuple, list[int]] = {}
+        for i, ((info, blocks), d) in enumerate(zip(parsed, d_sizes)):
+            K = max(1, len(blocks))
+            Kp = 1 << max(0, (K - 1)).bit_length()
+            M = _ceil_to(max((b.size for b in blocks), default=1), 1 << 12)
+            F = _ceil_to(max(d, 1), BLOCK)
+            key = (Kp, M, F, not parsed[i][0].block_independent)
+            groups.setdefault(key, []).append(i)
+        for (Kp, M, F, linked), idxs in groups.items():
+            B = len(idxs)
+            comp = np.zeros((B, Kp, M), np.uint8)
+            clens = np.zeros((B, Kp), np.int32)
+            unc = np.zeros((B, Kp), bool)
+            for r, i in enumerate(idxs):
+                info, blocks = parsed[i]
+                for k, blk in enumerate(blocks):
+                    comp[r, k, : blk.size] = np.frombuffer(
+                        datas[i], np.uint8, blk.size, blk.offset)
+                    clens[r, k] = blk.size
+                    unc[r, k] = blk.uncompressed
+            out, out_lens, ok = lz4_decode_frames(
+                jnp.asarray(comp), jnp.asarray(clens), jnp.asarray(unc),
+                F, linked=linked)
+            out = np.asarray(out)
+            out_lens = np.asarray(out_lens)
+            ok = np.asarray(ok)
+            for r, i in enumerate(idxs):
+                if not ok[r]:
+                    raise FormatError(f"corrupt LZ4 frame (index {i})")
+                if out_lens[r] != d_sizes[i]:
+                    raise FormatError(
+                        f"LZ4 frame decoded to {out_lens[r]} bytes, "
+                        f"expected {d_sizes[i]}")
+                results[i] = out[r, : out_lens[r]].tobytes()
+        return results  # type: ignore[return-value]

@@ -1,0 +1,194 @@
+"""Random-access archive reader.
+
+Parity with the reference read path (/root/reference/src/decompress.c):
+
+  * open sniffs the codec from the archive's first 4 bytes
+    (ZSTD_MAGIC 0xFD2FB528 / LZ4_MAGIC 0x184D2204, :22-23,261-288);
+  * the seek table is read from EOF via the pluggable pread/fsize callbacks;
+  * pread(size, offset) binary-searches the covering frame, serves from the
+    decompressed-frame LRU cache or decodes the frame (on TPU) on a miss,
+    and returns a short count at frame boundaries (:470-574) — callers loop,
+    or use pread_full;
+  * read() is the sequential cursor shim (:826-835) — with the cursor update
+    made atomic under the reader lock (the reference documents concurrency
+    safety but updates `pos` unlocked; that wart is fixed, not replicated —
+    SURVEY.md §5).
+
+Reader-side concurrency: one RLock guards cache + cursor, mirroring the
+reference's single rwlock (:38).  Frame decode happens outside the lock so
+concurrent readers overlap device work (double-checked cache insert, like
+the reference's rdlock->wrlock upgrade, :484-553).
+"""
+
+from __future__ import annotations
+
+import struct
+import threading
+
+from libzseek_tpu.errors import FormatError, ParameterError, ZseekError
+from libzseek_tpu.format.seek_table import SeekTable, parse_seek_table
+from libzseek_tpu.runtime import io as zio
+from libzseek_tpu.runtime.cache import FrameCache
+from libzseek_tpu.runtime.stats import ReaderStats
+
+ZSTD_MAGIC = 0xFD2FB528
+LZ4F_MAGIC = 0x184D2204
+DEFAULT_CACHE_FRAMES = 8
+
+
+class Reader:
+    def __init__(self, source, *, cache_frames: int = DEFAULT_CACHE_FRAMES,
+                 codec=None, level: int | None = None):
+        if isinstance(source, (bytes, bytearray, memoryview)):
+            source = zio.BytesIOSource(bytes(source))
+        if not hasattr(source, "pread"):
+            raise ParameterError("source must provide pread/fsize")
+        self._src = source
+        self._fsize = source.fsize()
+        magic_bytes = source.pread(0, 4)
+        if len(magic_bytes) < 4:
+            raise FormatError("archive too small")
+        magic = struct.unpack("<I", magic_bytes)[0]
+        if codec is not None and hasattr(codec, "decompress_frames"):
+            self._codec = codec
+        elif magic == LZ4F_MAGIC:
+            from libzseek_tpu.runtime.codec import LZ4Codec
+            self._codec = LZ4Codec()
+        elif magic == ZSTD_MAGIC:
+            from libzseek_tpu.runtime.zstd_codec import ZstdCodec
+            self._codec = ZstdCodec()
+        else:
+            raise FormatError(f"unknown archive magic 0x{magic:08X}")
+        self._table: SeekTable = parse_seek_table(source.pread, self._fsize)
+        self._cache = FrameCache(cache_frames) if cache_frames > 0 else None
+        self._lock = threading.RLock()
+        self._pos = 0
+        self._closed = False
+
+    # --- public API ---
+
+    @property
+    def seek_table(self) -> SeekTable:
+        return self._table
+
+    @property
+    def decompressed_size(self) -> int:
+        return self._table.decompressed_size
+
+    def pread(self, size: int, offset: int) -> bytes:
+        """Read up to `size` decompressed bytes at `offset`.  Like the
+        reference, never crosses a frame boundary — returns a short count;
+        b"" at or past EOF."""
+        if self._closed:
+            raise ZseekError("reader is closed")
+        if size < 0 or offset < 0:
+            raise ParameterError("negative size/offset")
+        total = self._table.decompressed_size
+        if offset >= total or size == 0:
+            return b""
+        idx = self._table.frame_for_offset(offset)
+        frame = self._get_frame(idx)
+        in_off = offset - self._table.frame_d_offset(idx)
+        return frame[in_off: in_off + size]
+
+    def pread_full(self, size: int, offset: int) -> bytes:
+        """Loop pread across frame boundaries (the caller-side loop of
+        test/example.c:63-80, provided as a convenience)."""
+        out = bytearray()
+        while size > 0:
+            chunk = self.pread(size, offset)
+            if not chunk:
+                break
+            out += chunk
+            size -= len(chunk)
+            offset += len(chunk)
+        return bytes(out)
+
+    def read(self, size: int) -> bytes:
+        """Sequential read at the internal cursor (zseek_read parity, with
+        the cursor update done under the lock)."""
+        with self._lock:
+            data = self.pread(size, self._pos)
+            self._pos += len(data)
+            return data
+
+    def seek(self, pos: int) -> None:
+        with self._lock:
+            self._pos = pos
+
+    def prefetch(self, offsets: list[int]) -> None:
+        """Batch-decode the frames covering `offsets` into the cache in one
+        device call (no reference equivalent — the batched analog of issuing
+        N preads)."""
+        need = []
+        seen = set()
+        for off in offsets:
+            if off >= self._table.decompressed_size:
+                continue
+            idx = self._table.frame_for_offset(off)
+            if idx in seen:
+                continue
+            seen.add(idx)
+            with self._lock:
+                hit = self._cache is not None and self._cache.find(idx) is not None
+            if not hit:
+                need.append(idx)
+        if not need:
+            return
+        datas = [self._read_frame_bytes(i) for i in need]
+        d_sizes = [self._table.frame_d_size(i) for i in need]
+        frames = self._codec.decompress_frames(datas, d_sizes)
+        if self._cache is not None:
+            with self._lock:
+                for i, fr in zip(need, frames):
+                    self._cache.insert(i, fr)
+
+    def close(self) -> ReaderStats:
+        self._closed = True
+        return self.stats()
+
+    def stats(self) -> ReaderStats:
+        st = ReaderStats(
+            seek_table_size=(8 + 8 * self._table.num_frames + 9),
+            seek_table_memory=self._table.memory_usage(),
+            frames=self._table.num_frames,
+            compressed_size=self._table.compressed_size,
+            decompressed_size=self._table.decompressed_size,
+        )
+        if self._cache is not None:
+            st.cache_memory = self._cache.memory_usage()
+            st.cache_entries = self._cache.entries
+            st.cache_hits = self._cache.hits
+            st.cache_misses = self._cache.misses
+        return st
+
+    # --- internals ---
+
+    def _read_frame_bytes(self, idx: int) -> bytes:
+        off = self._table.frame_c_offset(idx)
+        size = self._table.frame_c_size(idx)
+        data = self._src.pread(off, size)
+        if len(data) != size:
+            raise FormatError(f"short read of frame {idx}")
+        return data
+
+    def _get_frame(self, idx: int) -> bytes:
+        if self._cache is not None:
+            with self._lock:
+                hit = self._cache.find(idx)
+            if hit is not None:
+                return hit
+        data = self._read_frame_bytes(idx)
+        frame = self._codec.decompress_frame(data, self._table.frame_d_size(idx))
+        if self._cache is not None:
+            with self._lock:
+                # double-checked: a concurrent reader may have inserted it
+                if self._cache.find(idx) is None:
+                    self._cache.insert(idx, frame)
+        return frame
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
