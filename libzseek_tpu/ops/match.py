@@ -32,19 +32,32 @@ import jax.numpy as jnp
 from libzseek_tpu.ops import common as C
 
 
-def nearest_prev_occurrence(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-    """cand[b, i] = largest j < i with x[b, j:j+4] == x[b, i:i+4], else -1.
+def nearest_prev_occurrence(x: jnp.ndarray, lengths: jnp.ndarray,
+                            window: int = 4) -> jnp.ndarray:
+    """cand[b, i] = largest j < i with x[b, j:j+window] == x[b, i:i+window],
+    else -1.  window is 4 or 8; positions i > lengths[b]-window get -1.
 
-    Positions i > lengths[b]-4 are invalid and get -1.
+    A larger window finds rarer (hence usually longer, more
+    offset-consistent) matches — the 8-byte variant is what keeps periodic
+    data on one stable offset so run merging can chain.
     """
     B, N = x.shape
     v = C.u32_window(x)
     pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
-    invalid = (pos > lengths[:, None] - 4).astype(jnp.int32)
-    # Sort rows by (invalid, value, position): equal windows become adjacent,
-    # invalid positions group at the end and never link valid ones.
-    inv_s, v_s, idx_s = jax.lax.sort((invalid, v, pos), num_keys=3)
-    same = (v_s[:, 1:] == v_s[:, :-1]) & (inv_s[:, 1:] == 0) & (inv_s[:, :-1] == 0)
+    invalid = (pos > lengths[:, None] - window).astype(jnp.int32)
+    # Sort rows by (invalid, value[, value2], position): equal windows become
+    # adjacent, invalid positions group at the end and never link valid ones.
+    if window == 4:
+        keys = (invalid, v, pos)
+    else:
+        v2 = jnp.pad(v[:, 4:], ((0, 0), (0, 4)))  # bytes i+4..i+7
+        keys = (invalid, v, v2, pos)
+    sorted_ = jax.lax.sort(keys, num_keys=len(keys))
+    idx_s = sorted_[-1]
+    inv_s = sorted_[0]
+    same = (inv_s[:, 1:] == 0) & (inv_s[:, :-1] == 0)
+    for k in sorted_[1:-1]:
+        same = same & (k[:, 1:] == k[:, :-1])
     cand_s = jnp.where(same, idx_s[:, :-1], C.INVALID)
     cand_s = jnp.concatenate(
         [jnp.full((B, 1), C.INVALID, dtype=jnp.int32), cand_s], axis=1)
@@ -99,44 +112,75 @@ def backward_extension(x: jnp.ndarray, p: jnp.ndarray, q: jnp.ndarray,
     return bk
 
 
+def _log2i(v: jnp.ndarray) -> jnp.ndarray:
+    """floor(log2(v)) for 1 <= v < 2^24 via the float32 exponent."""
+    f = jnp.maximum(v, 1).astype(jnp.float32)
+    return (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - 127
+
+
 @partial(jax.jit, static_argnames=("seg_size", "max_len", "max_offset",
-                                   "min_tail", "max_back"))
+                                   "min_tail", "max_back", "end_margin",
+                                   "dual"))
 def find_segment_matches(x: jnp.ndarray, lengths: jnp.ndarray, *,
                          seg_size: int = 8, max_len: int = 64,
                          max_offset: int = 65535, min_tail: int = 12,
-                         max_back: int = 0):
+                         max_back: int = 0, end_margin: int = 5,
+                         dual: bool = False):
     """Per-segment match candidates: the earliest valid match start in each
     seg_size-byte segment, with its offset and extended length.
 
     Returns (p, off, e, has) each (B, NSEG):
       p   = match start position (after backward extension if max_back > 0)
       off = backward distance
-      e   = match end (exclusive), capped at lengths - 5 and start + max_len
+      e   = match end (exclusive), capped at lengths - end_margin and
+            start + max_len
       has = segment produced a candidate
 
-    min_tail enforces the LZ4 end-of-block rule (last match must start at
-    least 12 bytes before the end); zstd callers relax it.
+    min_tail/end_margin encode the LZ4 end-of-block rules (last match starts
+    >= 12 bytes before the end, last 5 bytes literal); zstd callers relax
+    them (min_tail=4, end_margin=0).
+
+    dual=True adds a second candidate per segment from the nearest previous
+    8-byte window and keeps the better of the two by (length, offset cost)
+    score: the 4-byte nearest occurrence on repetitive data is often an
+    accidental collision at an unstable offset, while the 8-byte candidate
+    stays on the true period so adjacent segments share an offset and
+    merge_runs can chain them into long sequences.
     """
     B, N = x.shape
     assert N % seg_size == 0
     nseg = N // seg_size
-    cand = nearest_prev_occurrence(x, lengths)
     pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
-    valid = (cand >= 0) & (pos - cand <= max_offset) & \
-        (pos <= lengths[:, None] - min_tail)
-    vseg = valid.reshape(B, nseg, seg_size)
-    has = jnp.any(vseg, axis=2)
-    first = jnp.argmax(vseg, axis=2).astype(jnp.int32)
     segbase = jnp.arange(nseg, dtype=jnp.int32)[None, :] * seg_size
-    p = segbase + first
-    q = C.take1(cand, p)
-    l = extend_match_lengths(x, p, q, has, max_len)
+
+    def seg_candidate(window):
+        cand = nearest_prev_occurrence(x, lengths, window)
+        valid = (cand >= 0) & (pos - cand <= max_offset) & \
+            (pos <= lengths[:, None] - min_tail)
+        vseg = valid.reshape(B, nseg, seg_size)
+        has = jnp.any(vseg, axis=2)
+        first = jnp.argmax(vseg, axis=2).astype(jnp.int32)
+        p = segbase + first
+        q = C.take1(cand, p)
+        l = extend_match_lengths(x, p, q, has, max_len)
+        return p, q, l, has
+
+    p, q, l, has = seg_candidate(4)
+    if dual:
+        p8, q8, l8, has8 = seg_candidate(8)
+        score4 = jnp.where(has, 8 * l - _log2i(p - q), -(1 << 30))
+        score8 = jnp.where(has8, 8 * l8 - _log2i(p8 - q8), -(1 << 30))
+        use8 = score8 > score4
+        p = jnp.where(use8, p8, p)
+        q = jnp.where(use8, q8, q)
+        l = jnp.where(use8, l8, l)
+        has = has | has8
     if max_back > 0:
         bk = backward_extension(x, p, q, has, max_back)
         p = p - bk
         q = q - bk
         l = l + bk
-    e = jnp.minimum(p + l, lengths[:, None] - 5)
+    e = jnp.minimum(p + l, lengths[:, None] - end_margin)
     off = p - q
     has = has & (e - p >= 4)
     return p, off, e, has

@@ -1,0 +1,710 @@
+"""zstd frame decoder: host container parse + batched TPU decode pipelines.
+
+The reference decodes a frame with one scalar ZSTD_decompressDCtx call
+(/root/reference/src/decompress.c:537).  The TPU-native decomposition:
+
+  host   — frame/block headers, literal-section headers, Huffman weight and
+           FSE normalized-count table descriptions (tiny, per-block-rare),
+           deduplicated into packed device table arrays.
+  device — 1. Huffman literal decode: one while_loop whose lanes are ALL
+              4-stream segments of ALL compressed-literals blocks in the
+              batch; one packed-dtable gather per symbol step.
+           2. Sequence decode: interleaved 3-state tANS walk (lanes =
+              blocks), reading the bitstream backward; repcodes are carried
+              as tagged values so blocks stay independent lanes, and the
+              tiny cross-block rep chain is resolved on host afterwards.
+           3. Sequence execution: literal scatter + back-reference copy
+              chains resolved by pointer doubling, frame-wide (shared shape
+              with the LZ4 executor in ops/lz4_decode.py).
+
+Handles every RFC 8878 block/literal/table mode (raw, RLE, compressed,
+treeless literals; predefined/RLE/compressed/repeat FSE), so archives
+written by stock libzstd (e.g. by the reference library) decode too.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libzseek_tpu.errors import FormatError
+from libzseek_tpu.format import zstd_frame as zf
+from libzseek_tpu.ops import common as C
+from libzseek_tpu.ops import fse
+from libzseek_tpu.ops import huffman
+
+_REP_TAG = 1 << 20  # tagged rep value: -(k * _REP_TAG + delta) = init_rep[k] - delta
+
+
+# ---------------------------------------------------------------------------
+# host: bitstream + table plumbing
+# ---------------------------------------------------------------------------
+
+def _sentinel_bits(stream: bytes) -> int:
+    """Total payload bits of a backward FSE/Huffman stream (sentinel 1-bit
+    excluded)."""
+    if not stream or stream[-1] == 0:
+        raise FormatError("corrupt backward bitstream (empty or zero last byte)")
+    return 8 * (len(stream) - 1) + stream[-1].bit_length() - 1
+
+
+def _win32(arr: np.ndarray) -> np.ndarray:
+    """(L, SB) uint8 -> (L, SB) uint32 LE windows (zero-padded tail)."""
+    a = arr.astype(np.uint32)
+
+    def sh(k):
+        return np.pad(a[:, k:], ((0, 0), (0, k)))
+
+    return sh(0) | (sh(1) << 8) | (sh(2) << 16) | (sh(3) << 24)
+
+
+class _HufReg:
+    """Deduplicated Huffman decode tables, padded to 2^11 entries so the
+    kernel always peeks 11 bits (entries replicated 2^(11-tableLog) times)."""
+
+    def __init__(self):
+        self.ids: dict[bytes, int] = {}
+        self.tables: list[np.ndarray] = []
+
+    def add(self, weights: np.ndarray) -> int:
+        key = weights.tobytes()
+        if key not in self.ids:
+            ct = huffman.ctable_from_weights(weights)
+            dt = huffman.build_dtable(ct)
+            dt11 = np.repeat(dt, 1 << (11 - ct.max_bits))
+            self.ids[key] = len(self.tables)
+            self.tables.append(dt11.astype(np.int32))
+        return self.ids[key]
+
+    def packed(self) -> np.ndarray:
+        if not self.tables:
+            return np.zeros((1, 2048), np.int32)
+        return np.stack(self.tables)
+
+
+class _FseReg:
+    """Deduplicated FSE decode tables packed as sym | nb<<8 | base<<16,
+    padded to 512 entries."""
+
+    def __init__(self):
+        self.ids: dict[tuple, int] = {}
+        self.tables: list[np.ndarray] = []
+        self.logs: list[int] = []
+
+    def _pack(self, dt: fse.DecodeTable) -> np.ndarray:
+        packed = (dt.symbol | (dt.nb_bits << 8) | (dt.new_state << 16))
+        out = np.zeros(512, np.int32)
+        out[: packed.shape[0]] = packed
+        return out
+
+    def add_norm(self, kind: str, norm: np.ndarray, table_log: int) -> int:
+        key = (kind, table_log, norm.tobytes())
+        if key not in self.ids:
+            self.ids[key] = len(self.tables)
+            self.tables.append(self._pack(fse.build_decode_table(norm, table_log)))
+            self.logs.append(table_log)
+        return self.ids[key]
+
+    def add_rle(self, kind: str, symbol: int) -> int:
+        key = (kind, "rle", symbol)
+        if key not in self.ids:
+            self.ids[key] = len(self.tables)
+            self.tables.append(self._pack(fse.DecodeTable(
+                0, np.array([symbol], np.int32), np.zeros(1, np.int32),
+                np.zeros(1, np.int32))))
+            self.logs.append(0)
+        return self.ids[key]
+
+    def packed(self) -> np.ndarray:
+        if not self.tables:
+            return np.zeros((1, 512), np.int32)
+        return np.stack(self.tables)
+
+
+_PREDEF = {
+    "ll": (zf.LL_DEFAULT_NORM, zf.LL_DEFAULT_LOG),
+    "of": (zf.OF_DEFAULT_NORM, zf.OF_DEFAULT_LOG),
+    "ml": (zf.ML_DEFAULT_NORM, zf.ML_DEFAULT_LOG),
+}
+_MAX_SYM = {"ll": zf.MAX_LL_CODE, "of": zf.MAX_OF_CODE, "ml": zf.MAX_ML_CODE}
+
+
+# ---------------------------------------------------------------------------
+# host: container parsing
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _HufLane:
+    stream: bytes
+    n_out: int
+    tid: int
+
+
+@dataclasses.dataclass
+class _BlockPlan:
+    content: int                      # regenerated size of this block
+    lit_direct: bytes | None = None   # raw/RLE literal bytes (or whole raw block)
+    huf_lanes: list | None = None     # list[_HufLane], decoded -> literal bytes
+    n_seq: int = 0
+    seq_stream: bytes = b""
+    ll_tid: int = 0
+    of_tid: int = 0
+    ml_tid: int = 0
+    ll_tl: int = 0
+    of_tl: int = 0
+    ml_tl: int = 0
+
+
+@dataclasses.dataclass
+class _FramePlan:
+    content_size: int
+    blocks: list          # list[_BlockPlan]
+
+
+def _parse_lit_section(data: bytes, pos: int, frame_state: dict,
+                       hufreg: _HufReg):
+    """Parse a literals section.  Returns (kind, payload, regen, pos') where
+    kind is 'bytes' (payload = literal bytes) or 'huf'
+    (payload = list[_HufLane])."""
+    b0 = data[pos]
+    lit_type = b0 & 3
+    size_format = (b0 >> 2) & 3
+    if lit_type in (0, 1):  # Raw / RLE
+        if size_format in (0, 2):
+            regen = b0 >> 3
+            pos += 1
+        elif size_format == 1:
+            regen = (b0 >> 4) | (data[pos + 1] << 4)
+            pos += 2
+        else:
+            regen = (b0 >> 4) | (data[pos + 1] << 4) | (data[pos + 2] << 12)
+            pos += 3
+        if lit_type == 0:
+            payload = data[pos: pos + regen]
+            if len(payload) != regen:
+                raise FormatError("truncated raw literals")
+            return "bytes", payload, regen, pos + regen
+        return "bytes", bytes([data[pos]]) * regen, regen, pos + 1
+    # Compressed (2) / Treeless (3)
+    if size_format == 0:
+        v = int.from_bytes(data[pos: pos + 3], "little")
+        regen, comp, pos, streams4 = (v >> 4) & 0x3FF, v >> 14, pos + 3, False
+    elif size_format == 1:
+        v = int.from_bytes(data[pos: pos + 3], "little")
+        regen, comp, pos, streams4 = (v >> 4) & 0x3FF, v >> 14, pos + 3, True
+    elif size_format == 2:
+        v = int.from_bytes(data[pos: pos + 4], "little")
+        regen, comp, pos, streams4 = (v >> 4) & 0x3FFF, v >> 18, pos + 4, True
+    else:
+        v = int.from_bytes(data[pos: pos + 5], "little")
+        regen, comp, pos, streams4 = (v >> 4) & 0x3FFFF, v >> 22, pos + 5, True
+    end = pos + comp
+    if lit_type == 2:
+        weights, used = huffman.read_weights(data, pos)
+        tid = hufreg.add(weights)
+        frame_state["huf_tid"] = tid
+        pos += used
+    else:
+        tid = frame_state.get("huf_tid")
+        if tid is None:
+            raise FormatError("treeless literals with no previous table")
+        frame_state["huf_tid"] = tid
+    lanes: list[_HufLane] = []
+    if streams4:
+        if end - pos < 6:
+            raise FormatError("truncated 4-stream jump table")
+        s1 = int.from_bytes(data[pos: pos + 2], "little")
+        s2 = int.from_bytes(data[pos + 2: pos + 4], "little")
+        s3 = int.from_bytes(data[pos + 4: pos + 6], "little")
+        pos += 6
+        s4 = end - pos - s1 - s2 - s3
+        if s4 <= 0:
+            raise FormatError("bad 4-stream sizes")
+        per = (regen + 3) // 4
+        counts = [per, per, per, regen - 3 * per]
+        for sz, n_out in zip((s1, s2, s3, s4), counts):
+            lanes.append(_HufLane(data[pos: pos + sz], n_out, tid))
+            pos += sz
+    else:
+        lanes.append(_HufLane(data[pos: end], regen, tid))
+        pos = end
+    return "huf", lanes, regen, end
+
+
+def _parse_seq_section(data: bytes, pos: int, end: int, frame_state: dict,
+                       fsereg: _FseReg):
+    """Parse a sequences section.  Returns (_BlockPlan fields dict)."""
+    b0 = data[pos]
+    if b0 < 128:
+        n_seq, pos = b0, pos + 1
+    elif b0 < 255:
+        n_seq, pos = ((b0 - 128) << 8) | data[pos + 1], pos + 2
+    else:
+        n_seq = int.from_bytes(data[pos + 1: pos + 3], "little") + 0x7F00
+        pos += 3
+    if n_seq == 0:
+        return dict(n_seq=0)
+    modes = data[pos]
+    if modes & 3:
+        raise FormatError("reserved sequence-section mode bits set")
+    pos += 1
+    out: dict = dict(n_seq=n_seq)
+    for kind, mode in (("ll", (modes >> 6) & 3), ("of", (modes >> 4) & 3),
+                       ("ml", (modes >> 2) & 3)):
+        if mode == 0:
+            norm, tl = _PREDEF[kind]
+            tid = fsereg.add_norm(kind, norm, tl)
+        elif mode == 1:
+            tid = fsereg.add_rle(kind, data[pos])
+            tl = 0
+            pos += 1
+        elif mode == 2:
+            norm, tl, used = fse.read_norm_counts(data, pos, _MAX_SYM[kind])
+            max_log = {"ll": 9, "of": 8, "ml": 9}[kind]
+            if tl > max_log:
+                raise FormatError(f"{kind} accuracy log {tl} exceeds {max_log}")
+            tid = fsereg.add_norm(kind, norm, tl)
+            pos += used
+        else:
+            prev = frame_state.get(f"fse_{kind}")
+            if prev is None:
+                raise FormatError("repeat FSE mode with no previous table")
+            tid, tl = prev
+        frame_state[f"fse_{kind}"] = (tid, tl)
+        out[f"{kind}_tid"] = tid
+        out[f"{kind}_tl"] = tl
+    out["seq_stream"] = data[pos:end]
+    return out
+
+
+def _parse_frame_impl(data: bytes, hufreg: _HufReg, fsereg: _FseReg,
+                      expected_size: int | None = None) -> _FramePlan:
+    fh = zf.parse_frame_header(data, 0)
+    pos = fh.header_size
+    blocks: list[_BlockPlan] = []
+    frame_state: dict = {}
+    while True:
+        btype, bsize, last = zf.parse_block_header(data, pos)
+        pos += 3
+        if btype == 0:  # raw
+            blocks.append(_BlockPlan(content=bsize,
+                                     lit_direct=data[pos: pos + bsize]))
+            pos += bsize
+        elif btype == 1:  # RLE
+            blocks.append(_BlockPlan(content=bsize,
+                                     lit_direct=bytes([data[pos]]) * bsize))
+            pos += 1
+        else:  # compressed
+            end = pos + bsize
+            kind, payload, regen, pos = _parse_lit_section(
+                data, pos, frame_state, hufreg)
+            seq = _parse_seq_section(data, pos, end, frame_state, fsereg)
+            bp = _BlockPlan(content=0, **seq)
+            if kind == "bytes":
+                bp.lit_direct = payload
+            else:
+                bp.huf_lanes = payload
+            bp.content = -1  # resolved after sequence decode
+            blocks.append(bp)
+            pos = end
+        if last:
+            break
+    cs = fh.content_size
+    if cs is None:
+        cs = expected_size
+    if cs is None:
+        raise FormatError("frame without content size needs expected_size")
+    return _FramePlan(int(cs), blocks)
+
+
+# ---------------------------------------------------------------------------
+# device kernels
+# ---------------------------------------------------------------------------
+
+def _read_at(win32u: jnp.ndarray, start: jnp.ndarray, nb: jnp.ndarray):
+    """Extract bits [start, start+nb) per lane (nb <= 16, traced).  Bits
+    below position 0 read as zero (backward-stream underflow semantics)."""
+    s0 = jnp.maximum(start, 0)
+    w = C.take1(win32u, s0 >> 3) >> (s0 & 7).astype(jnp.uint32)
+    mask = (jnp.uint32(1) << nb.astype(jnp.uint32)) - 1
+    v = w & mask
+    under = jnp.clip(-start, 0, 31).astype(jnp.uint32)
+    return jnp.where(start >= 0, v, (w << under) & mask).astype(jnp.int32)
+
+
+def _read_wide(win32u, start, nb):
+    """Bits [start, start+nb) for nb <= 31 via two 16-bit-max extractions."""
+    nb_lo = jnp.minimum(nb, 16)
+    nb_hi = nb - nb_lo
+    lo = _read_at(win32u, start, nb_lo)
+    hi = _read_at(win32u, start + 16, nb_hi)
+    return lo | (hi << 16)
+
+
+@partial(jax.jit, static_argnames=("out_cap",))
+def huf_decode_lanes(win32u: jnp.ndarray, total_bits: jnp.ndarray,
+                     n_out: jnp.ndarray, tid: jnp.ndarray,
+                     dtabs: jnp.ndarray, out_cap: int):
+    """Decode Huffman lanes (streams) symbol-at-a-time, lanes vectorized.
+
+    win32u: (L, SB) uint32 LE byte windows of each stream; total_bits (L,);
+    n_out (L,) symbols to produce; tid (L,) table ids into dtabs (T, 2048)
+    packed (nb << 8 | sym).  Returns (syms (L, out_cap) uint8, ok (L,))."""
+    L = win32u.shape[0]
+    flat = dtabs.reshape(-1)
+    eleven = jnp.full((L,), 11, jnp.int32)
+
+    def cond(state):
+        t, pos, out = state
+        return (t < out_cap) & jnp.any(t < n_out)
+
+    def body(state):
+        t, pos, out = state
+        active = t < n_out
+        v = _read_at(win32u, pos - 11, eleven)
+        ent = jnp.take(flat, tid * 2048 + v, mode="clip")
+        nb = ent >> 8
+        sym = (ent & 255).astype(jnp.uint8)
+        out = out.at[:, t].set(jnp.where(active, sym, jnp.uint8(0)))
+        pos = jnp.where(active, pos - nb, pos)
+        return t + 1, pos, out
+
+    out0 = jnp.zeros((L, out_cap), jnp.uint8)
+    t, pos, out = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), total_bits, out0))
+    return out, pos >= 0
+
+
+@partial(jax.jit, static_argnames=("max_seqs",))
+def fse_decode_seq_lanes(win32u: jnp.ndarray, total_bits: jnp.ndarray,
+                         n_seq: jnp.ndarray,
+                         tids: jnp.ndarray, tls: jnp.ndarray,
+                         tabs: jnp.ndarray, max_seqs: int):
+    """Decode sequence sections, lanes = blocks.
+
+    tids/tls: (L, 3) int32 table ids / logs in order (LL, OF, ML) into tabs
+    (T, 512) packed sym | nb<<8 | base<<16.  Repcodes are tagged:
+    -(k * _REP_TAG + d) means frame-initial rep k minus d.  Returns
+    (ll, ml, off) each (L, max_seqs) int32, rep_final (L, 3), ok (L,)."""
+    L = win32u.shape[0]
+    flat = tabs.reshape(-1)
+    ll_bits_t = jnp.asarray(zf.LL_BITS, jnp.int32)
+    ll_base_t = jnp.asarray(zf.LL_BASELINE, jnp.int32)
+    ml_bits_t = jnp.asarray(zf.ML_BITS, jnp.int32)
+    ml_base_t = jnp.asarray(zf.ML_BASELINE, jnp.int32)
+
+    def ent(kind, state):
+        return jnp.take(flat, tids[:, kind] * 512 + state, mode="clip")
+
+    # init states: LL then OF then ML, each table_log bits from the top
+    pos = total_bits
+    s_ll = _read_at(win32u, pos - tls[:, 0], tls[:, 0])
+    pos = pos - tls[:, 0]
+    s_of = _read_at(win32u, pos - tls[:, 1], tls[:, 1])
+    pos = pos - tls[:, 1]
+    s_ml = _read_at(win32u, pos - tls[:, 2], tls[:, 2])
+    pos = pos - tls[:, 2]
+
+    r1 = jnp.full((L,), -(1 * _REP_TAG), jnp.int32)
+    r2 = jnp.full((L,), -(2 * _REP_TAG), jnp.int32)
+    r3 = jnp.full((L,), -(3 * _REP_TAG), jnp.int32)
+
+    z = jnp.zeros((L, max_seqs), jnp.int32)
+
+    def cond(state):
+        t = state[0]
+        return (t < max_seqs) & jnp.any(t < n_seq)
+
+    def body(state):
+        (t, pos, s_ll, s_of, s_ml, r1, r2, r3, lls, mls, offs) = state
+        active = t < n_seq
+        e_ll, e_of, e_ml = ent(0, s_ll), ent(1, s_of), ent(2, s_ml)
+        llc, ofc, mlc = e_ll & 255, e_of & 255, e_ml & 255
+        # extras: OF then ML then LL (backward read of forward LL, ML, OF)
+        of_extra = _read_wide(win32u, pos - ofc, ofc)
+        pos = jnp.where(active, pos - ofc, pos)
+        ofv = (jnp.int32(1) << jnp.minimum(ofc, 30)) + of_extra
+        mlb = ml_bits_t[jnp.clip(mlc, 0, zf.MAX_ML_CODE)]
+        ml = ml_base_t[jnp.clip(mlc, 0, zf.MAX_ML_CODE)] + \
+            _read_at(win32u, pos - mlb, mlb)
+        pos = jnp.where(active, pos - mlb, pos)
+        llb = ll_bits_t[jnp.clip(llc, 0, zf.MAX_LL_CODE)]
+        ll = ll_base_t[jnp.clip(llc, 0, zf.MAX_LL_CODE)] + \
+            _read_at(win32u, pos - llb, llb)
+        pos = jnp.where(active, pos - llb, pos)
+        # repcode resolution (tagged)
+        idx = ofv + (ll == 0)
+        off = jnp.where(ofv > 3, ofv - 3,
+                        jnp.where(idx == 1, r1,
+                                  jnp.where(idx == 2, r2,
+                                            jnp.where(idx == 3, r3, r1 - 1))))
+        n_r1 = off
+        n_r2 = jnp.where(ofv > 3, r1, jnp.where(idx == 1, r2, r1))
+        n_r3 = jnp.where(ofv > 3, r2,
+                         jnp.where(idx == 1, r3,
+                                   jnp.where(idx == 2, r3, r2)))
+        r1 = jnp.where(active, n_r1, r1)
+        r2 = jnp.where(active, n_r2, r2)
+        r3 = jnp.where(active, n_r3, r3)
+        # state updates (skipped for the last sequence): LL, ML, OF
+        upd = active & (t < n_seq - 1)
+        nb_ll = (e_ll >> 8) & 255
+        s_ll_n = (e_ll >> 16) + _read_at(win32u, pos - nb_ll, nb_ll)
+        pos = jnp.where(upd, pos - nb_ll, pos)
+        nb_ml = (e_ml >> 8) & 255
+        s_ml_n = (e_ml >> 16) + _read_at(win32u, pos - nb_ml, nb_ml)
+        pos = jnp.where(upd, pos - nb_ml, pos)
+        nb_of = (e_of >> 8) & 255
+        s_of_n = (e_of >> 16) + _read_at(win32u, pos - nb_of, nb_of)
+        pos = jnp.where(upd, pos - nb_of, pos)
+        s_ll = jnp.where(upd, s_ll_n, s_ll)
+        s_ml = jnp.where(upd, s_ml_n, s_ml)
+        s_of = jnp.where(upd, s_of_n, s_of)
+        lls = lls.at[:, t].set(jnp.where(active, ll, 0))
+        mls = mls.at[:, t].set(jnp.where(active, ml, 0))
+        offs = offs.at[:, t].set(jnp.where(active, off, 0))
+        return (t + 1, pos, s_ll, s_of, s_ml, r1, r2, r3, lls, mls, offs)
+
+    state = (jnp.int32(0), pos, s_ll, s_of, s_ml, r1, r2, r3, z, z, z)
+    (t, pos, s_ll, s_of, s_ml, r1, r2, r3, lls, mls, offs) = \
+        jax.lax.while_loop(cond, body, state)
+    rep_final = jnp.stack([r1, r2, r3], axis=1)
+    ok = pos >= 0
+    return lls, mls, offs, rep_final, ok
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def execute_sequences(pool: jnp.ndarray, lit_src, lit_len, lit_dst,
+                      m_off, m_len, m_dst, out_size: int):
+    """Frame-wide LZ sequence execution (literal scatter + pointer-doubled
+    back-reference chains).  pool: (B, P) uint8 literal bytes; the six
+    sequence arrays are (B, S) int32.  Returns (out (B, out_size), ok)."""
+    B, P = pool.shape
+    S = lit_src.shape[1]
+    F = out_size
+    seq_valid = lit_len > 0
+    is_lit_src = C.fill_regions(P, lit_src, lit_src + lit_len, seq_valid)
+    src_region = C.region_index(P, lit_src, seq_valid)
+    lr_rank = jnp.cumsum(seq_valid.astype(jnp.int32), axis=1) - 1
+    lit_src_tab = C.scatter1_set(jnp.zeros((B, S), jnp.int32), lr_rank,
+                                 lit_src, seq_valid)
+    lit_dst_tab = C.scatter1_set(jnp.zeros((B, S), jnp.int32), lr_rank,
+                                 lit_dst, seq_valid)
+    jpos = jnp.broadcast_to(np.arange(P, dtype=np.int32)[None, :], (B, P))
+    ldst = C.take1(lit_dst_tab, src_region) + \
+        (jpos - C.take1(lit_src_tab, src_region))
+    val_layer = jnp.zeros((B, F), jnp.int32)
+    val_layer = C.scatter1_set(val_layer, ldst, pool.astype(jnp.int32),
+                               is_lit_src)
+    m_valid = m_len > 0
+    in_match = C.fill_regions(F, m_dst, m_dst + m_len, m_valid)
+    m_region = C.region_index(F, m_dst, m_valid)
+    mr_rank = jnp.cumsum(m_valid.astype(jnp.int32), axis=1) - 1
+    m_off_tab = C.scatter1_set(jnp.ones((B, S), jnp.int32), mr_rank,
+                               m_off, m_valid)
+    ipos = jnp.broadcast_to(np.arange(F, dtype=np.int32)[None, :], (B, F))
+    ref = ipos - C.take1(m_off_tab, m_region)
+    bad = jnp.any(in_match & (ref < 0), axis=1)
+    src0 = jnp.where(in_match, jnp.clip(ref, 0, F - 1), ipos)
+    rounds = max(1, int(math.ceil(math.log2(max(2, F)))))
+    src_final = C.resolve_copy_chains(src0, rounds)
+    out = C.take1(val_layer, src_final).astype(jnp.uint8)
+    return out, ~bad
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+# ---------------------------------------------------------------------------
+
+def _ceil_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def _resolve_tags(vals: np.ndarray, reps: np.ndarray) -> np.ndarray:
+    """Replace tagged rep values -(k*_REP_TAG + d) with reps[k-1] - d."""
+    tagged = vals < 0
+    if not tagged.any():
+        return vals
+    enc = -vals[tagged]
+    k = enc // _REP_TAG
+    d = enc % _REP_TAG
+    out = vals.copy()
+    out[tagged] = reps[k - 1] - d
+    return out
+
+
+def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None
+                  ) -> list[bytes]:
+    """Decode a batch of zstd frames to their uncompressed bytes."""
+    if not datas:
+        return []
+    if d_sizes is None:
+        d_sizes = [None] * len(datas)
+    hufreg, fsereg = _HufReg(), _FseReg()
+    plans = [_parse_frame_impl(d, hufreg, fsereg, sz)
+             for d, sz in zip(datas, d_sizes)]
+
+    # --- device pass A: huffman literal lanes ---
+    lanes: list[_HufLane] = []
+    for bp in (b for p in plans for b in p.blocks):
+        if bp.huf_lanes:
+            lanes.extend(bp.huf_lanes)
+    lit_bytes_of_lane: list[np.ndarray] = []
+    if lanes:
+        SB = max(4, _ceil_pow2(max(len(l.stream) for l in lanes) + 4))
+        cap = max(1, _ceil_pow2(max(l.n_out for l in lanes)))
+        streams = np.zeros((len(lanes), SB), np.uint8)
+        tb = np.zeros(len(lanes), np.int32)
+        nout = np.zeros(len(lanes), np.int32)
+        tid = np.zeros(len(lanes), np.int32)
+        for i, l in enumerate(lanes):
+            streams[i, : len(l.stream)] = np.frombuffer(l.stream, np.uint8)
+            tb[i] = _sentinel_bits(l.stream)
+            nout[i] = l.n_out
+            tid[i] = l.tid
+        syms, ok = huf_decode_lanes(
+            jnp.asarray(_win32(streams)), jnp.asarray(tb), jnp.asarray(nout),
+            jnp.asarray(tid), jnp.asarray(hufreg.packed()), cap)
+        syms = np.asarray(syms)
+        if not np.asarray(ok).all():
+            raise FormatError("huffman literal stream underflow")
+        for i, l in enumerate(lanes):
+            lit_bytes_of_lane.append(syms[i, : l.n_out])
+
+    # --- device pass B: sequence sections ---
+    seq_blocks = [bp for p in plans for bp in p.blocks if bp.n_seq > 0]
+    seq_results: dict[int, tuple] = {}
+    if seq_blocks:
+        SB = max(4, _ceil_pow2(max(len(bp.seq_stream) for bp in seq_blocks) + 4))
+        smax = max(1, _ceil_pow2(max(bp.n_seq for bp in seq_blocks)))
+        L = len(seq_blocks)
+        streams = np.zeros((L, SB), np.uint8)
+        tb = np.zeros(L, np.int32)
+        ns = np.zeros(L, np.int32)
+        tids = np.zeros((L, 3), np.int32)
+        tls = np.zeros((L, 3), np.int32)
+        for i, bp in enumerate(seq_blocks):
+            streams[i, : len(bp.seq_stream)] = np.frombuffer(bp.seq_stream,
+                                                             np.uint8)
+            tb[i] = _sentinel_bits(bp.seq_stream)
+            ns[i] = bp.n_seq
+            tids[i] = (bp.ll_tid, bp.of_tid, bp.ml_tid)
+            tls[i] = (bp.ll_tl, bp.of_tl, bp.ml_tl)
+        lls, mls, offs, rep_fin, ok = fse_decode_seq_lanes(
+            jnp.asarray(_win32(streams)), jnp.asarray(tb), jnp.asarray(ns),
+            jnp.asarray(tids), jnp.asarray(tls),
+            jnp.asarray(fsereg.packed()), smax)
+        lls, mls, offs = np.asarray(lls), np.asarray(mls), np.asarray(offs)
+        rep_fin = np.asarray(rep_fin)
+        if not np.asarray(ok).all():
+            raise FormatError("sequence bitstream underflow")
+        for i, bp in enumerate(seq_blocks):
+            seq_results[id(bp)] = (lls[i, : bp.n_seq], mls[i, : bp.n_seq],
+                                   offs[i, : bp.n_seq], rep_fin[i])
+
+    # --- host: assemble per-frame pools + sequence arrays ---
+    frames_exec = []
+    lane_cursor = 0
+    for p in plans:
+        pool_parts: list[np.ndarray] = []
+        seq_ll: list[np.ndarray] = []
+        seq_ml: list[np.ndarray] = []
+        seq_off: list[np.ndarray] = []
+        reps = np.array([1, 4, 8], np.int64)
+        for bp in p.blocks:
+            if bp.huf_lanes:
+                lits = np.concatenate(
+                    lit_bytes_of_lane[lane_cursor:
+                                      lane_cursor + len(bp.huf_lanes)])
+                lane_cursor += len(bp.huf_lanes)
+            elif bp.lit_direct is not None:
+                lits = np.frombuffer(bp.lit_direct, np.uint8)
+            else:
+                lits = np.zeros(0, np.uint8)
+            pool_parts.append(lits)
+            if bp.n_seq > 0:
+                ll, ml, off = seq_results[id(bp)][:3]
+                off = _resolve_tags(off.astype(np.int64), reps)
+                reps = _resolve_tags(
+                    seq_results[id(bp)][3].astype(np.int64), reps)
+                if (off <= 0).any():
+                    raise FormatError("non-positive match offset")
+                seq_ll.append(ll)
+                seq_ml.append(ml)
+                seq_off.append(off.astype(np.int32))
+                covered = int(ll.sum() + ml.sum())
+                trailing = len(lits) - int(ll.sum())
+                if trailing < 0:
+                    raise FormatError("literal pool underrun")
+                bp.content = covered + trailing
+            else:
+                bp.content = len(lits)
+            # trailing literals of the block are handled frame-wide below
+        pool = (np.concatenate(pool_parts) if pool_parts
+                else np.zeros(0, np.uint8))
+        # frame-wide sequence arrays: blocks in order; after each block's
+        # sequences, its trailing literals form a pseudo-sequence (ml = 0)
+        lit_src_l, lit_len_l, lit_dst_l = [], [], []
+        m_off_l, m_len_l, m_dst_l = [], [], []
+        pool_pos = 0
+        out_pos = 0
+        si = 0
+        for bp in p.blocks:
+            if bp.n_seq > 0:
+                ll, ml, off = seq_ll[si], seq_ml[si], seq_off[si]
+                si += 1
+                lsrc = pool_pos + np.cumsum(ll) - ll
+                ldst = out_pos + np.cumsum(ll + ml) - (ll + ml)
+                mdst = ldst + ll
+                lit_src_l.append(lsrc)
+                lit_len_l.append(ll)
+                lit_dst_l.append(ldst)
+                m_off_l.append(off)
+                m_len_l.append(ml)
+                m_dst_l.append(mdst)
+                consumed_lits = int(ll.sum())
+                covered = int(ll.sum() + ml.sum())
+            else:
+                consumed_lits = 0
+                covered = 0
+            trail = bp.content - covered
+            if trail > 0:
+                lit_src_l.append(np.array([pool_pos + consumed_lits]))
+                lit_len_l.append(np.array([trail]))
+                lit_dst_l.append(np.array([out_pos + covered]))
+                m_off_l.append(np.array([1]))
+                m_len_l.append(np.array([0]))
+                m_dst_l.append(np.array([out_pos + bp.content]))
+            pool_pos += consumed_lits + max(0, trail)
+            out_pos += bp.content
+        cat = lambda ls: (np.concatenate(ls).astype(np.int32) if ls
+                          else np.zeros(0, np.int32))
+        frames_exec.append((pool, cat(lit_src_l), cat(lit_len_l),
+                            cat(lit_dst_l), cat(m_off_l), cat(m_len_l),
+                            cat(m_dst_l), out_pos))
+        if out_pos != p.content_size:
+            raise FormatError(
+                f"frame regenerated {out_pos} != declared {p.content_size}")
+
+    # --- device pass C: execution, one padded batch ---
+    B = len(frames_exec)
+    F = max(1, _ceil_pow2(max(fe[7] for fe in frames_exec)))
+    P = max(1, _ceil_pow2(max(len(fe[0]) for fe in frames_exec)))
+    S = max(1, _ceil_pow2(max(len(fe[1]) for fe in frames_exec)))
+    pool = np.zeros((B, P), np.uint8)
+    arrs = [np.zeros((B, S), np.int32) for _ in range(6)]
+    for i, fe in enumerate(frames_exec):
+        pool[i, : len(fe[0])] = fe[0]
+        for k in range(6):
+            arrs[k][i, : len(fe[k + 1])] = fe[k + 1]
+    out, ok = execute_sequences(jnp.asarray(pool),
+                                *[jnp.asarray(a) for a in arrs], F)
+    out = np.asarray(out)
+    if not np.asarray(ok).all():
+        raise FormatError("match offset before frame start")
+    return [out[i, : fe[7]].tobytes() for i, fe in enumerate(frames_exec)]

@@ -1,0 +1,303 @@
+"""zstd block encoder — device pipelines (RFC 8878).
+
+Three batched stages (rows = independent 128 KiB blocks):
+
+  1. zstd_sequences: LZ77 parse (shared ops.match pipeline, zstd end rules)
+     -> per-sequence (litLen, offset_value, matchLen), compacted literal
+     bytes, and literal histograms.
+  2. huffman_encode_literals: per-literal code lookup, 4-stream split,
+     prefix-sum bit offsets, one scatter-add packing pass.
+  3. fse_encode_sequences: the interleaved 3-state tANS walk (predefined
+     distributions), reverse-order scan with lane-vectorized state, then
+     parallel bit packing.
+
+The reference gets all of this from libzstd's scalar encoder
+(ZSTD_compress2, /root/reference/src/compress.c:666).  Table construction
+and container assembly are host-side (runtime/zstd_codec.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libzseek_tpu.format import zstd_frame as zf
+from libzseek_tpu.ops import bits as BITS
+from libzseek_tpu.ops import common as C
+from libzseek_tpu.ops import fse
+from libzseek_tpu.ops import match as M
+
+# --- small constant code tables (device-resident) ---
+_LL_CODE_TAB64 = np.searchsorted(zf._LL_BASE, np.arange(64), side="right") - 1
+_ML_CODE_TAB128 = np.searchsorted(zf._ML_BASE, np.arange(3, 131), side="right") - 1
+
+# predefined FSE encode tables (built once, host numpy)
+_LL_ET = fse.build_encode_table(zf.LL_DEFAULT_NORM, zf.LL_DEFAULT_LOG)
+_OF_ET = fse.build_encode_table(zf.OF_DEFAULT_NORM, zf.OF_DEFAULT_LOG)
+_ML_ET = fse.build_encode_table(zf.ML_DEFAULT_NORM, zf.ML_DEFAULT_LOG)
+
+
+def _exp_of(v):
+    """floor(log2(v)) for 1 <= v < 2^24, exact via the float32 exponent."""
+    f = v.astype(jnp.float32)
+    return (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - 127
+
+
+def ll_code_dev(ll):
+    tab = jnp.asarray(_LL_CODE_TAB64, jnp.int32)
+    small = tab[jnp.clip(ll, 0, 63)]
+    return jnp.where(ll > 63, _exp_of(jnp.maximum(ll, 1)) + 19, small)
+
+
+def ml_code_dev(ml):
+    base = ml - 3
+    tab = jnp.asarray(_ML_CODE_TAB128, jnp.int32)
+    small = tab[jnp.clip(ml - 3, 0, 127) + 0]
+    return jnp.where(base > 127, _exp_of(jnp.maximum(base, 1)) + 36, small)
+
+
+@partial(jax.jit, static_argnames=("seg_size", "max_len", "max_back",
+                                   "max_offset", "dual"))
+def zstd_sequences(x: jnp.ndarray, lengths: jnp.ndarray, *,
+                   seg_size: int = 4, max_len: int = 48, max_back: int = 4,
+                   max_offset: int = (1 << 17) - 1, dual: bool = True):
+    """LZ77 parse for zstd blocks.
+
+    Returns dict with (B, NSEQ) arrays ll, ml, offv (offset_value =
+    offset + 3), n_seq (B,), last_literals (B,), literals (B, N) compacted,
+    lit_count (B,), hist (B, 256).
+    """
+    B, N = x.shape
+    nseq = N // seg_size + 1
+    p, off, e, has = M.find_segment_matches(
+        x, lengths, seg_size=seg_size, max_len=max_len, min_tail=4,
+        max_back=max_back, end_margin=0, max_offset=max_offset, dual=dual)
+    # --- profitability gate ---
+    # A sequence costs ~18 state/extra bits + log2(offset) offset bits; a
+    # skipped match costs ~H bits per literal byte (block byte entropy).
+    # zstd's own encoders get this implicitly from recency-biased hash
+    # tables + repcodes; with an exact nearest-occurrence finder the gate
+    # must be explicit or far/short matches bloat the sequence section.
+    pos = jnp.broadcast_to(np.arange(N, dtype=np.int32)[None, :], (B, N))
+    in_range = pos < lengths[:, None]
+    hist_all = jnp.zeros((B, 256), jnp.int32)
+    hist_all = C.scatter1_add(hist_all, x.astype(jnp.int32),
+                              jnp.ones((B, N), jnp.int32), in_range)
+    pr = hist_all.astype(jnp.float32) / jnp.maximum(
+        lengths[:, None].astype(jnp.float32), 1.0)
+    H = -jnp.sum(jnp.where(pr > 0, pr * jnp.log2(jnp.maximum(pr, 1e-9)), 0.0),
+                 axis=1)
+    H = jnp.clip(H, 1.0, 8.0)[:, None]
+    mlen = (e - p).astype(jnp.float32)
+    cost = 20.0 + _exp_of(jnp.maximum(off + 3, 1)).astype(jnp.float32)
+    has = has & (mlen * H > cost)
+    sel, start, end, off, lit_from, c_final = M.greedy_select(
+        p, off, e, has, lengths, min_tail=4)
+    is_head, merged_end = M.merge_runs(sel, start, end, off, lit_from)
+
+    rank = jnp.cumsum(is_head.astype(jnp.int32), axis=1) - 1
+    n_seq = jnp.sum(is_head.astype(jnp.int32), axis=1)
+
+    def compact(vals):
+        dst = jnp.zeros((B, nseq), dtype=jnp.int32)
+        return C.scatter1_set(dst, rank, vals.astype(jnp.int32), is_head)
+
+    seq_lit_from = compact(lit_from)
+    seq_start = compact(start)
+    seq_end = compact(merged_end)
+    seq_off = compact(off)
+    idxs = jnp.broadcast_to(np.arange(nseq, dtype=np.int32)[None, :], (B, nseq))
+    valid = idxs < n_seq[:, None]
+    ll = jnp.where(valid, seq_start - seq_lit_from, 0)
+    ml = jnp.where(valid, seq_end - seq_start, 0)
+    offv = jnp.where(valid, seq_off + 3, 0)
+    last_literals = lengths - c_final
+
+    # literal extraction: bytes not covered by any selected match
+    in_match = C.fill_regions(N, seq_start, seq_end, valid)
+    pos = jnp.broadcast_to(np.arange(N, dtype=np.int32)[None, :], (B, N))
+    is_lit = (~in_match) & (pos < lengths[:, None])
+    lit_rank = C.exclusive_cumsum(is_lit.astype(jnp.int32), axis=1)
+    lit_count = jnp.sum(is_lit.astype(jnp.int32), axis=1)
+    literals = jnp.zeros((B, N), jnp.uint8)
+    literals = C.scatter1_set(literals, lit_rank, x, is_lit)
+    hist = jnp.zeros((B, 256), jnp.int32)
+    hist = C.scatter1_add(hist, x.astype(jnp.int32),
+                          jnp.ones((B, N), jnp.int32), is_lit)
+    return dict(ll=ll, ml=ml, offv=offv, n_seq=n_seq,
+                last_literals=last_literals, literals=literals,
+                lit_count=lit_count, hist=hist)
+
+
+@partial(jax.jit, static_argnames=("out_bytes",))
+def huffman_encode_literals(lits: jnp.ndarray, lit_count: jnp.ndarray,
+                            code_vals: jnp.ndarray, code_bits: jnp.ndarray,
+                            out_bytes: int):
+    """4-stream Huffman encode.
+
+    lits: (B, LC) compacted literal bytes; code_vals/code_bits: (B, 256).
+    Returns (stream_bytes (B, out_bytes) uint8, sizes (B, 4) int32) where
+    sizes are the closed byte sizes of the four streams (jump table source).
+    """
+    B, LC = lits.shape
+    idx = jnp.broadcast_to(np.arange(LC, dtype=np.int32)[None, :], (B, LC))
+    active = idx < lit_count[:, None]
+    cv = C.take1(code_vals, lits.astype(jnp.int32))
+    cb = jnp.where(active, C.take1(code_bits, lits.astype(jnp.int32)), 0)
+    # stream split: first 3 streams of ceil(cnt/4), 4th the remainder
+    s = (lit_count + 3) >> 2
+    sid = jnp.minimum(idx // jnp.maximum(s[:, None], 1), 3)
+    # per-stream running bit offsets
+    cum = jnp.cumsum(cb, axis=1)
+    start_all = cum - cb
+    # cumulative bits at each stream's first element
+    stream_start_idx = jnp.stack([jnp.zeros_like(s), s, 2 * s, 3 * s], axis=1)
+    stream_cum0 = C.take1(jnp.pad(cum, ((0, 0), (1, 0))),
+                          jnp.clip(stream_start_idx, 0, LC))
+    bit_in_stream_fwd = start_all - C.take1(stream_cum0, sid)
+    # stream bit totals (+1 sentinel each) -> byte sizes
+    end_idx = jnp.stack([s, 2 * s, 3 * s, lit_count], axis=1)
+    stream_bits = C.take1(jnp.pad(cum, ((0, 0), (1, 0))),
+                          jnp.clip(end_idx, 0, LC)) - stream_cum0
+    # literals are emitted in REVERSE order within each stream (the decoder
+    # reads the stream backward and must produce them forward)
+    bit_in_stream = C.take1(stream_bits, sid) - bit_in_stream_fwd - cb
+    sizes = (stream_bits + 1 + 7) >> 3
+    base_bytes = C.exclusive_cumsum(sizes, axis=1)
+    abs_pos = (C.take1(base_bytes, sid) << 3) + bit_in_stream
+    # sentinels: one per stream at its end
+    sent_pos = (base_bytes << 3) + stream_bits
+    values = jnp.concatenate([cv.astype(jnp.uint32),
+                              jnp.ones((B, 4), jnp.uint32)], axis=1)
+    nbits = jnp.concatenate([cb, jnp.ones((B, 4), jnp.int32)], axis=1)
+    bitpos = jnp.concatenate([abs_pos, sent_pos], axis=1)
+    words = BITS.pack_bits_at(values, nbits, bitpos, out_bytes // 4)
+    return BITS.words_to_bytes(words, out_bytes), sizes
+
+
+def _enc_tables_dev():
+    def tt(et):
+        return (jnp.asarray(et.state_table, jnp.int32),
+                jnp.asarray(et.delta_nb_bits, jnp.int32),
+                jnp.asarray(et.delta_find_state, jnp.int32))
+    return tt(_LL_ET), tt(_OF_ET), tt(_ML_ET)
+
+
+@partial(jax.jit, static_argnames=("out_bytes",))
+def fse_encode_sequences(ll: jnp.ndarray, ml: jnp.ndarray, offv: jnp.ndarray,
+                         n_seq: jnp.ndarray, out_bytes: int):
+    """Encode sequence codes with the predefined FSE tables.
+
+    Emission order (forward write order, = what libzstd's
+    ZSTD_encodeSequences_body produces): last sequence's extra bits (LL, ML,
+    OF), then for each earlier sequence (reverse order): state bits (OF, ML,
+    LL) and extra bits (LL, ML, OF); finally state flushes (ML, OF, LL) and
+    the sentinel bit.
+
+    Returns (stream (B, out_bytes) uint8, byte_sizes (B,) int32).
+    """
+    B, NSEQ = ll.shape
+    (ll_st, ll_dnb, ll_dfs), (of_st, of_dnb, of_dfs), (ml_st, ml_dnb, ml_dfs) = \
+        _enc_tables_dev()
+    llc = ll_code_dev(ll)
+    mlc = jnp.where(ml >= 3, ml_code_dev(jnp.maximum(ml, 3)), 0)
+    ofc = jnp.where(offv > 0, _exp_of(jnp.maximum(offv, 1)), 0)
+    ll_bits_t = jnp.asarray(zf.LL_BITS, jnp.int32)
+    ll_base_t = jnp.asarray(zf.LL_BASELINE, jnp.int32)
+    ml_bits_t = jnp.asarray(zf.ML_BITS, jnp.int32)
+    ml_base_t = jnp.asarray(zf.ML_BASELINE, jnp.int32)
+
+    def seq_at(t):
+        """Gather per-lane sequence n_seq-1-t (clamped)."""
+        i = jnp.clip(n_seq - 1 - t, 0, NSEQ - 1)[:, None]
+        g = lambda a: jnp.take_along_axis(a, i, axis=1)[:, 0]
+        return g(llc), g(mlc), g(ofc), g(ll), g(ml), g(offv)
+
+    def extras(llc_t, mlc_t, ofc_t, ll_t, ml_t, offv_t):
+        llb = ll_bits_t[jnp.clip(llc_t, 0, 35)]
+        llv = ll_t - ll_base_t[jnp.clip(llc_t, 0, 35)]
+        mlb = ml_bits_t[jnp.clip(mlc_t, 0, 52)]
+        mlv = ml_t - ml_base_t[jnp.clip(mlc_t, 0, 52)]
+        ofb = ofc_t
+        ofv_x = offv_t - (1 << jnp.maximum(ofc_t, 0))
+        return (llv, llb), (mlv, mlb), (ofv_x, ofb)
+
+    def enc_sym(state, sym, st_tab, dnb, dfs):
+        nb = (state + dnb[sym]) >> 16
+        bits_v = state & ((1 << nb) - 1)
+        new = st_tab[(state >> nb) + dfs[sym]]
+        return new, bits_v, nb
+
+    def init_state(sym, st_tab, dnb, dfs):
+        nb = (dnb[sym] + (1 << 15)) >> 16
+        v = (nb << 16) - dnb[sym]
+        return st_tab[(v >> nb) + dfs[sym]]
+
+    # emission buffers: 6 per step
+    vals = jnp.zeros((B, NSEQ, 6), jnp.uint32)
+    nbs = jnp.zeros((B, NSEQ, 6), jnp.int32)
+
+    def body(state):
+        t, s_ll, s_of, s_ml, vals, nbs = state
+        llc_t, mlc_t, ofc_t, ll_t, ml_t, offv_t = seq_at(t)
+        active = t < n_seq
+        first = (t == 0) & active
+        later = (t > 0) & active
+        (llv, llb), (mlv, mlb), (ofvx, ofb) = extras(
+            llc_t, mlc_t, ofc_t, ll_t, ml_t, offv_t)
+        # state-bit emissions (only for t >= 1)
+        n_of, bv_of, nb_of = enc_sym(s_of, ofc_t, of_st, of_dnb, of_dfs)
+        n_ml, bv_ml, nb_ml = enc_sym(s_ml, mlc_t, ml_st, ml_dnb, ml_dfs)
+        n_ll, bv_ll, nb_ll = enc_sym(s_ll, llc_t, ll_st, ll_dnb, ll_dfs)
+        # init states at t == 0
+        i_ll = init_state(llc_t, ll_st, ll_dnb, ll_dfs)
+        i_of = init_state(ofc_t, of_st, of_dnb, of_dfs)
+        i_ml = init_state(mlc_t, ml_st, ml_dnb, ml_dfs)
+        s_ll = jnp.where(first, i_ll, jnp.where(later, n_ll, s_ll))
+        s_of = jnp.where(first, i_of, jnp.where(later, n_of, s_of))
+        s_ml = jnp.where(first, i_ml, jnp.where(later, n_ml, s_ml))
+        z = jnp.zeros_like(llv)
+        step_vals = jnp.stack([
+            jnp.where(later, bv_of, 0), jnp.where(later, bv_ml, 0),
+            jnp.where(later, bv_ll, 0),
+            jnp.where(active, llv, z), jnp.where(active, mlv, z),
+            jnp.where(active, ofvx, z)], axis=1).astype(jnp.uint32)
+        step_nbs = jnp.stack([
+            jnp.where(later, nb_of, 0), jnp.where(later, nb_ml, 0),
+            jnp.where(later, nb_ll, 0),
+            jnp.where(active, llb, 0), jnp.where(active, mlb, 0),
+            jnp.where(active, ofb, 0)], axis=1)
+        vals = jax.lax.dynamic_update_slice(vals, step_vals[:, None, :], (0, t, 0))
+        nbs = jax.lax.dynamic_update_slice(nbs, step_nbs[:, None, :], (0, t, 0))
+        return t + 1, s_ll, s_of, s_ml, vals, nbs
+
+    def cond(state):
+        t = state[0]
+        return (t < NSEQ) & jnp.any(t < n_seq)
+
+    z32 = jnp.zeros((B,), jnp.int32)
+    t, s_ll, s_of, s_ml, vals, nbs = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), z32, z32, z32, vals, nbs))
+
+    # flush states (ML, OF, LL) + sentinel
+    has = n_seq > 0
+    tsz = lambda log: jnp.int32((1 << log) - 1)
+    flush_vals = jnp.stack([
+        (s_ml & tsz(zf.ML_DEFAULT_LOG)).astype(jnp.uint32),
+        (s_of & tsz(zf.OF_DEFAULT_LOG)).astype(jnp.uint32),
+        (s_ll & tsz(zf.LL_DEFAULT_LOG)).astype(jnp.uint32),
+        jnp.ones((B,), jnp.uint32)], axis=1)
+    flush_nbs = jnp.stack([
+        jnp.where(has, zf.ML_DEFAULT_LOG, 0),
+        jnp.where(has, zf.OF_DEFAULT_LOG, 0),
+        jnp.where(has, zf.LL_DEFAULT_LOG, 0),
+        jnp.where(has, 1, 0)], axis=1)
+
+    all_vals = jnp.concatenate([vals.reshape(B, NSEQ * 6), flush_vals], axis=1)
+    all_nbs = jnp.concatenate([nbs.reshape(B, NSEQ * 6), flush_nbs], axis=1)
+    words, total_bits = BITS.pack_bits(all_vals, all_nbs, out_bytes // 4)
+    byte_sizes = (total_bits + 7) >> 3  # sentinel included in total_bits
+    return BITS.words_to_bytes(words, out_bytes), byte_sizes

@@ -1,19 +1,238 @@
-"""zstd frame codec (TPU encode/decode pipelines).
+"""zstd frame codec: host orchestration + container assembly around the
+device pipelines (ops/zstd_encode.py, ops/zstd_decode.py).
 
-Placeholder module boundary: the zstd compute path (LZ77 sequences ->
-FSE/Huffman entropy coding per RFC 8878) lands behind the same Codec
-interface as LZ4Codec.  See ops/zstd_encode.py / ops/zstd_decode.py.
+Encode flow per batch of frames (rows = independent 128 KiB blocks):
+  device: LZ77 parse -> sequences + literals + histograms
+  host:   Huffman table build per block (tiny), mode decisions
+  device: Huffman 4-stream literal encode; FSE sequence encode (predefined
+          distributions)
+  host:   section headers + block headers + frame header assembly, with
+          raw-literals / raw-block fallbacks so output never expands beyond
+          the format's bound.
+
+Output frames are standard zstd frames (single-segment, content size
+present), verified against stock libzstd in the test-suite.  Equivalent
+reference path: ZSTD_compress2 inside compress_frame_zstd
+(/root/reference/src/compress.c:653-702).
 """
 
 from __future__ import annotations
 
-from libzseek_tpu.errors import ZseekError
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from libzseek_tpu.errors import FormatError
+from libzseek_tpu.format import zstd_frame as zf
+from libzseek_tpu.ops import huffman
+from libzseek_tpu.ops.zstd_encode import (fse_encode_sequences,
+                                          huffman_encode_literals,
+                                          zstd_sequences)
+
+BLOCK = zf.BLOCK_MAX  # 128 KiB
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _lit_section_raw(lits: bytes) -> bytes:
+    n = len(lits)
+    if n < 32:
+        head = bytes([(n << 3) | zf.LIT_RAW])
+    elif n < 4096:
+        head = bytes([((n & 0xF) << 4) | (0b01 << 2) | zf.LIT_RAW, n >> 4])
+    else:
+        head = bytes([((n & 0xF) << 4) | (0b11 << 2) | zf.LIT_RAW,
+                      (n >> 4) & 0xFF, n >> 12])
+    return head + lits
+
+
+def _lit_section_rle(byte: int, n: int) -> bytes:
+    if n < 32:
+        head = bytes([(n << 3) | zf.LIT_RLE])
+    elif n < 4096:
+        head = bytes([((n & 0xF) << 4) | (0b01 << 2) | zf.LIT_RLE, n >> 4])
+    else:
+        head = bytes([((n & 0xF) << 4) | (0b11 << 2) | zf.LIT_RLE,
+                      (n >> 4) & 0xFF, n >> 12])
+    return head + bytes([byte])
+
+
+def _lit_section_huff(regen: int, comp: int, payload: bytes) -> bytes:
+    """4-stream compressed literals header (Size_Format 01/10/11)."""
+    if regen <= 1023 and comp <= 1023:
+        v = zf.LIT_COMPRESSED | (0b01 << 2) | (regen << 4) | (comp << 14)
+        return v.to_bytes(3, "little") + payload
+    if regen <= 16383 and comp <= 16383:
+        v = zf.LIT_COMPRESSED | (0b10 << 2) | (regen << 4) | (comp << 18)
+        return v.to_bytes(4, "little") + payload
+    v = zf.LIT_COMPRESSED | (0b11 << 2) | (regen << 4) | (comp << 22)
+    return v.to_bytes(5, "little") + payload
+
+
+def _nbseq_header(n: int) -> bytes:
+    if n < 128:
+        return bytes([n])
+    if n < 0x7F00:
+        return bytes([(n >> 8) + 128, n & 0xFF])
+    return bytes([255]) + (n - 0x7F00).to_bytes(2, "little")
 
 
 class ZstdCodec:
+    """zstd seekable-frame codec (TPU encode pipeline; decode in
+    ops/zstd_decode.py)."""
+
     name = "zstd"
 
-    def __init__(self, level: int = 3):
+    def __init__(self, level: int = 3, max_batch_blocks: int = 64):
         self.level = level
-        raise ZseekError("zstd codec: TPU pipeline not wired up yet "
-                         "(use codec='lz4')")
+        # level knob maps to candidate granularity / extension length,
+        # the analog of zstd's level-indexed search parameters
+        self.seg_size = 8 if level <= 1 else 4
+        self.max_len = 32 if level <= 1 else 48
+        self.max_batch_blocks = max_batch_blocks
+
+    # --- compress ---
+
+    def compress_frames(self, frames: list[bytes | memoryview]) -> list[bytes]:
+        if not frames:
+            return []
+        spans = []
+        for fi, fr in enumerate(frames):
+            n = len(fr)
+            if n == 0:
+                continue
+            for s in range(0, n, BLOCK):
+                spans.append((fi, s, min(BLOCK, n - s)))
+        block_payloads: dict[int, bytes] = {}
+        for lo in range(0, len(spans), self.max_batch_blocks):
+            chunk = spans[lo: lo + self.max_batch_blocks]
+            payloads = self._compress_blocks(
+                [np.frombuffer(frames[fi], np.uint8, sz, s)
+                 for fi, s, sz in chunk])
+            for i, p in enumerate(payloads):
+                block_payloads[lo + i] = p
+        # assemble frames
+        out = []
+        cursor = 0
+        for fi, fr in enumerate(frames):
+            n = len(fr)
+            head = zf.build_frame_header(n, single_segment=n > 0)
+            body = bytearray(head)
+            nblocks = math.ceil(n / BLOCK)
+            if n == 0:
+                body += zf.build_block_header(zf.BLOCK_RAW, 0, last=True)
+            for b in range(nblocks):
+                fi2, s, sz = spans[cursor]
+                assert fi2 == fi
+                payload = block_payloads[cursor]
+                cursor += 1
+                last = b == nblocks - 1
+                if payload is None or len(payload) >= sz:
+                    body += zf.build_block_header(zf.BLOCK_RAW, sz, last)
+                    body += bytes(fr[s: s + sz])
+                else:
+                    body += zf.build_block_header(
+                        zf.BLOCK_COMPRESSED, len(payload), last)
+                    body += payload
+            out.append(bytes(body))
+        return out
+
+    def _compress_blocks(self, blocks: list[np.ndarray]) -> list[bytes | None]:
+        """Compress raw blocks -> compressed-block payloads (None = store
+        raw)."""
+        B = len(blocks)
+        N = BLOCK
+        X = np.zeros((B, N), np.uint8)
+        lens = np.zeros((B,), np.int32)
+        for i, blk in enumerate(blocks):
+            X[i, : len(blk)] = blk
+            lens[i] = len(blk)
+        seqs = zstd_sequences(jnp.asarray(X), jnp.asarray(lens),
+                              seg_size=self.seg_size, max_len=self.max_len)
+        hist = np.asarray(seqs["hist"])
+        lit_count = np.asarray(seqs["lit_count"])
+        n_seq = np.asarray(seqs["n_seq"])
+        # host: huffman tables per block
+        code_vals = np.zeros((B, 256), np.int32)
+        code_bits = np.zeros((B, 256), np.int32)
+        trees: list[bytes | None] = [None] * B
+        modes: list[str] = ["raw"] * B
+        for i in range(B):
+            lc = int(lit_count[i])
+            nz = np.count_nonzero(hist[i])
+            if lc == 0:
+                modes[i] = "none"
+                continue
+            if nz == 1:
+                modes[i] = "rle"
+                continue
+            if lc < 64:
+                continue  # raw literals
+            ct = huffman.build_ctable(hist[i])
+            try:
+                tree = huffman.write_weights(ct)
+            except FormatError:
+                continue
+            est = int(np.sum(hist[i] * ct.lengths) // 8) + len(tree) + 6 + 8
+            if est >= lc:
+                continue
+            trees[i] = tree
+            modes[i] = "huf"
+            code_vals[i] = ct.codes
+            code_bits[i] = ct.lengths
+        # device: literal + sequence streams
+        lit_cap = _ceil_to(N + 64, 128)
+        streams, sizes4 = huffman_encode_literals(
+            seqs["literals"], seqs["lit_count"],
+            jnp.asarray(code_vals), jnp.asarray(code_bits), lit_cap)
+        seq_cap = _ceil_to(N // 2 + 64, 128)
+        seq_stream, seq_sizes = fse_encode_sequences(
+            seqs["ll"], seqs["ml"], seqs["offv"], seqs["n_seq"], seq_cap)
+        streams = np.asarray(streams)
+        sizes4 = np.asarray(sizes4)
+        seq_stream = np.asarray(seq_stream)
+        seq_sizes = np.asarray(seq_sizes)
+        literals = np.asarray(seqs["literals"])
+        ll = np.asarray(seqs["ll"])
+        ml = np.asarray(seqs["ml"])
+        offv = np.asarray(seqs["offv"])
+        # host: assemble per block
+        out: list[bytes | None] = []
+        for i in range(B):
+            lc = int(lit_count[i])
+            lits = literals[i, :lc].tobytes()
+            if modes[i] == "none":
+                lit_sec = _lit_section_raw(b"")
+            elif modes[i] == "rle":
+                lit_sec = _lit_section_rle(lits[0], lc)
+            elif modes[i] == "huf":
+                jump = b"".join(int(sizes4[i, k]).to_bytes(2, "little")
+                                for k in range(3))
+                payload = trees[i] + jump + \
+                    streams[i, : int(sizes4[i].sum())].tobytes()
+                lit_sec = _lit_section_huff(lc, len(payload), payload)
+                if len(lit_sec) >= lc + 3:
+                    lit_sec = _lit_section_raw(lits)
+            else:
+                lit_sec = _lit_section_raw(lits)
+            ns = int(n_seq[i])
+            seq_sec = _nbseq_header(ns)
+            if ns > 0:
+                seq_sec += bytes([0x00])  # all predefined modes
+                seq_sec += seq_stream[i, : int(seq_sizes[i])].tobytes()
+            payload = lit_sec + seq_sec
+            out.append(payload if len(payload) < int(lens[i]) else None)
+        return out
+
+    # --- decompress ---
+
+    def decompress_frame(self, data: bytes, d_size: int) -> bytes:
+        return self.decompress_frames([data], [d_size])[0]
+
+    def decompress_frames(self, datas: list[bytes],
+                          d_sizes: list[int]) -> list[bytes]:
+        from libzseek_tpu.ops.zstd_decode import decode_frames
+        return decode_frames(datas, d_sizes)
