@@ -1,0 +1,70 @@
+"""Headline benchmark: end-to-end zstd level-3 seekable compression
+throughput on one TPU chip, through the public Writer API with a counting
+sink (mirrors the reference harness /root/reference/test/benchmark.c:139-151,
+324 which writes to /dev/null through a byte-counting callback).
+
+Baseline to beat: the reference's 16-worker peak, ~1699 MiB/s
+(BASELINE.md, test/results/report1m.txt:17).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from libzseek_tpu.utils.platform import apply_platform
+
+apply_platform()
+
+import numpy as np
+
+BASELINE_MIBS = 1699.0  # reference zstd L3, 16 workers, f=1024 MiB
+
+
+class CountingSink:
+    def __init__(self):
+        self.n = 0
+
+    def write(self, b):
+        self.n += len(b)
+
+
+def run(total_mb: int, chunk: int = 1 << 20, min_frame: int = 1 << 20,
+        batch_frames: int = 16):
+    from libzseek_tpu.runtime.writer import Writer
+    from libzseek_tpu.testing.corpus import mixed_corpus
+
+    rng = np.random.default_rng(11)
+    data = mixed_corpus(rng, total_mb << 20).tobytes()
+    sink = CountingSink()
+    w = Writer(sink, codec="zstd", min_frame_size=min_frame,
+               batch_frames=batch_frames)
+    t0 = time.time()
+    for pos in range(0, len(data), chunk):
+        w.write(data[pos: pos + chunk])
+    st = w.close()
+    dt = time.time() - t0
+    return (total_mb / dt), sink.n / len(data), st.frames, dt
+
+
+def main():
+    warm_mb = int(os.environ.get("BENCH_WARMUP_MB", "16"))
+    total_mb = int(os.environ.get("BENCH_MB", "64"))
+    run(warm_mb)  # compile warm-up (cached afterwards)
+    mibs, ratio, frames, dt = run(total_mb)
+    print(json.dumps({
+        "metric": "zstd_l3_compress_throughput",
+        "value": round(mibs, 2),
+        "unit": "MiB/s",
+        "vs_baseline": round(mibs / BASELINE_MIBS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,24 +36,21 @@ def code_lengths(counts: np.ndarray, max_bits: int = MAX_BITS) -> np.ndarray:
         lengths[syms[0]] = 1
         return lengths
     freqs = counts[syms].astype(np.int64)
-    # package-merge over max_bits levels
-    # items: list of (weight, set-of-symbol-indices as list)
-    level: list[tuple[int, list[int]]] = []
+    # package-merge (Larmore-Hirschberg): list_1 = base;
+    # list_j = merge(base, package(list_{j-1})) for j = 2..max_bits;
+    # select the 2n-2 cheapest items of list_max_bits — a symbol's code
+    # length is its number of inclusions.  Exactly max_bits-1 package
+    # steps: one more would admit codes of length max_bits+1.
     base = sorted((int(f), [i]) for i, f in enumerate(freqs))
-    for _ in range(max_bits):
-        merged = sorted(level + base)
-        # package pairs
-        level = []
-        for k in range(0, len(merged) - 1, 2):
-            w = merged[k][0] + merged[k + 1][0]
-            level.append((w, merged[k][1] + merged[k + 1][1]))
-    # take first 2n-2 items of final merge
-    merged = sorted(level + base)[: 2 * (n - 1)]
-    # hmm: the standard formulation: after max_bits iterations pick 2n-2
-    # packages from the last merged list; each symbol's length = number of
-    # packages containing it
+    lst = list(base)
+    for _ in range(max_bits - 1):
+        packaged = []
+        for k in range(0, len(lst) - 1, 2):
+            w = lst[k][0] + lst[k + 1][0]
+            packaged.append((w, lst[k][1] + lst[k + 1][1]))
+        lst = sorted(packaged + base)
     lcount = np.zeros(n, np.int64)
-    for _, symlist in merged:
+    for _, symlist in lst[: 2 * (n - 1)]:
         for i in symlist:
             lcount[i] += 1
     lengths[syms] = lcount
@@ -185,11 +182,19 @@ def _write_weights_fse(weights: np.ndarray) -> bytes | None:
     # encode weights backward with two alternating states (RFC 8878 §4.2.1.2)
     bits: list[tuple[int, int]] = []
     n = len(weights)
-    # init states from the last two weights: state1 <- w[n-1], state2 <- w[n-2]
-    s1 = fse.init_state(et, int(weights[n - 1]))
-    s2 = fse.init_state(et, int(weights[n - 2]))
+    # The decoder alternates states s1, s2, s1, ... producing w[0], w[1], …
+    # so symbol k must be encoded into s1 iff k is even.  Encoding runs
+    # backward from k = n-3, whose parity depends on n: odd n -> s1 first
+    # with s1 <- w[n-1]; even n -> s2 first with the inits swapped.
+    if n % 2:
+        s1 = fse.init_state(et, int(weights[n - 1]))
+        s2 = fse.init_state(et, int(weights[n - 2]))
+        turn = 0
+    else:
+        s2 = fse.init_state(et, int(weights[n - 1]))
+        s1 = fse.init_state(et, int(weights[n - 2]))
+        turn = 1
     i = n - 3
-    turn = 0  # 0 -> state1, 1 -> state2
     while i >= 0:
         sym = int(weights[i])
         st = s1 if turn == 0 else s2
@@ -252,7 +257,8 @@ def normalize_counts(counts: np.ndarray, table_log: int, total: int
     norm_nz = np.where(low & (vals <= 1), -1, vals)
     norm[nz] = norm_nz
     # fix the sum to exactly table_size by adjusting the largest entry
-    s = int(np.sum(np.where(norm > 0, norm, 1)))
+    # (-1 low-probability entries occupy one state each; zeros occupy none)
+    s = int(np.sum(norm[norm > 0])) + int(np.sum(norm == -1))
     diff = table_size - s
     if diff != 0:
         order = np.argsort(-norm)

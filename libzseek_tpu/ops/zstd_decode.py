@@ -63,9 +63,12 @@ def _win32(arr: np.ndarray) -> np.ndarray:
     return sh(0) | (sh(1) << 8) | (sh(2) << 16) | (sh(3) << 24)
 
 
+_HUF_PEEK = 12  # libzstd's HUF_TABLELOG_MAX: accept foreign 12-bit tables
+
+
 class _HufReg:
-    """Deduplicated Huffman decode tables, padded to 2^11 entries so the
-    kernel always peeks 11 bits (entries replicated 2^(11-tableLog) times)."""
+    """Deduplicated Huffman decode tables, padded to 2^12 entries so the
+    kernel always peeks 12 bits (entries replicated 2^(12-tableLog) times)."""
 
     def __init__(self):
         self.ids: dict[bytes, int] = {}
@@ -75,15 +78,18 @@ class _HufReg:
         key = weights.tobytes()
         if key not in self.ids:
             ct = huffman.ctable_from_weights(weights)
+            if ct.max_bits > _HUF_PEEK:
+                raise FormatError(
+                    f"huffman code length {ct.max_bits} exceeds {_HUF_PEEK}")
             dt = huffman.build_dtable(ct)
-            dt11 = np.repeat(dt, 1 << (11 - ct.max_bits))
+            dt12 = np.repeat(dt, 1 << (_HUF_PEEK - ct.max_bits))
             self.ids[key] = len(self.tables)
-            self.tables.append(dt11.astype(np.int32))
+            self.tables.append(dt12.astype(np.int32))
         return self.ids[key]
 
     def packed(self) -> np.ndarray:
         if not self.tables:
-            return np.zeros((1, 2048), np.int32)
+            return np.zeros((1, 1 << _HUF_PEEK), np.int32)
         return np.stack(self.tables)
 
 
@@ -353,11 +359,12 @@ def huf_decode_lanes(win32u: jnp.ndarray, total_bits: jnp.ndarray,
     """Decode Huffman lanes (streams) symbol-at-a-time, lanes vectorized.
 
     win32u: (L, SB) uint32 LE byte windows of each stream; total_bits (L,);
-    n_out (L,) symbols to produce; tid (L,) table ids into dtabs (T, 2048)
-    packed (nb << 8 | sym).  Returns (syms (L, out_cap) uint8, ok (L,))."""
+    n_out (L,) symbols to produce; tid (L,) table ids into dtabs
+    (T, 2^_HUF_PEEK) packed (nb << 8 | sym).  Returns (syms (L, out_cap)
+    uint8, ok (L,))."""
     L = win32u.shape[0]
     flat = dtabs.reshape(-1)
-    eleven = jnp.full((L,), 11, jnp.int32)
+    peek = jnp.full((L,), _HUF_PEEK, jnp.int32)
 
     def cond(state):
         t, pos, out = state
@@ -366,8 +373,8 @@ def huf_decode_lanes(win32u: jnp.ndarray, total_bits: jnp.ndarray,
     def body(state):
         t, pos, out = state
         active = t < n_out
-        v = _read_at(win32u, pos - 11, eleven)
-        ent = jnp.take(flat, tid * 2048 + v, mode="clip")
+        v = _read_at(win32u, pos - _HUF_PEEK, peek)
+        ent = jnp.take(flat, tid * (1 << _HUF_PEEK) + v, mode="clip")
         nb = ent >> 8
         sym = (ent & 255).astype(jnp.uint8)
         out = out.at[:, t].set(jnp.where(active, sym, jnp.uint8(0)))

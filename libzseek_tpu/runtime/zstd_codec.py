@@ -23,6 +23,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
+from libzseek_tpu import native
 from libzseek_tpu.errors import FormatError
 from libzseek_tpu.format import zstd_frame as zf
 from libzseek_tpu.ops import huffman
@@ -155,11 +156,16 @@ class ZstdCodec:
         hist = np.asarray(seqs["hist"])
         lit_count = np.asarray(seqs["lit_count"])
         n_seq = np.asarray(seqs["n_seq"])
-        # host: huffman tables per block
+        # host: huffman tables per block (native batch build when available)
         code_vals = np.zeros((B, 256), np.int32)
         code_bits = np.zeros((B, 256), np.int32)
         trees: list[bytes | None] = [None] * B
         modes: list[str] = ["raw"] * B
+        if native.have_native():
+            n_lengths, n_codes, n_trees, _mb = native.huf_build_batch(
+                hist.astype(np.uint32))
+        else:
+            n_lengths = n_codes = n_trees = None
         for i in range(B):
             lc = int(lit_count[i])
             nz = np.count_nonzero(hist[i])
@@ -171,18 +177,24 @@ class ZstdCodec:
                 continue
             if lc < 64:
                 continue  # raw literals
-            ct = huffman.build_ctable(hist[i])
-            try:
-                tree = huffman.write_weights(ct)
-            except FormatError:
-                continue
-            est = int(np.sum(hist[i] * ct.lengths) // 8) + len(tree) + 6 + 8
+            if n_trees is not None:
+                tree, lengths, codes = n_trees[i], n_lengths[i], n_codes[i]
+                if tree is None:
+                    continue
+            else:
+                ct = huffman.build_ctable(hist[i])
+                try:
+                    tree = huffman.write_weights(ct)
+                except FormatError:
+                    continue
+                lengths, codes = ct.lengths, ct.codes
+            est = int(np.sum(hist[i] * lengths) // 8) + len(tree) + 6 + 8
             if est >= lc:
                 continue
             trees[i] = tree
             modes[i] = "huf"
-            code_vals[i] = ct.codes
-            code_bits[i] = ct.lengths
+            code_vals[i] = codes
+            code_bits[i] = lengths
         # device: literal + sequence streams
         lit_cap = _ceil_to(N + 64, 128)
         streams, sizes4 = huffman_encode_literals(
@@ -195,15 +207,31 @@ class ZstdCodec:
         sizes4 = np.asarray(sizes4)
         seq_stream = np.asarray(seq_stream)
         seq_sizes = np.asarray(seq_sizes)
-        literals = np.asarray(seqs["literals"])
-        ll = np.asarray(seqs["ll"])
-        ml = np.asarray(seqs["ml"])
-        offv = np.asarray(seqs["offv"])
+        # Decide huf->raw fallbacks exactly from the fetched sizes, then
+        # gather literal BYTES for only the rows that need them on host
+        # (raw payload / RLE byte) — not the whole (B, N) plane.
+        for i in range(B):
+            if modes[i] != "huf":
+                continue
+            lc = int(lit_count[i])
+            payload_len = len(trees[i]) + 6 + int(sizes4[i].sum())
+            hdr = 3 if (lc <= 1023 and payload_len <= 1023) else \
+                4 if (lc <= 16383 and payload_len <= 16383) else 5
+            raw_hdr = 1 if lc < 32 else (2 if lc < 4096 else 3)
+            if hdr + payload_len >= raw_hdr + lc:
+                modes[i] = "raw"
+                trees[i] = None
+        need_rows = [i for i in range(B)
+                     if modes[i] in ("raw", "rle") and lit_count[i] > 0]
+        lit_rows: dict[int, np.ndarray] = {}
+        if need_rows:
+            picked = np.asarray(seqs["literals"][jnp.asarray(need_rows)])
+            lit_rows = {r: picked[k] for k, r in enumerate(need_rows)}
         # host: assemble per block
         out: list[bytes | None] = []
         for i in range(B):
             lc = int(lit_count[i])
-            lits = literals[i, :lc].tobytes()
+            lits = (lit_rows[i][:lc].tobytes() if i in lit_rows else b"")
             if modes[i] == "none":
                 lit_sec = _lit_section_raw(b"")
             elif modes[i] == "rle":
@@ -214,8 +242,6 @@ class ZstdCodec:
                 payload = trees[i] + jump + \
                     streams[i, : int(sizes4[i].sum())].tobytes()
                 lit_sec = _lit_section_huff(lc, len(payload), payload)
-                if len(lit_sec) >= lc + 3:
-                    lit_sec = _lit_section_raw(lits)
             else:
                 lit_sec = _lit_section_raw(lits)
             ns = int(n_seq[i])
