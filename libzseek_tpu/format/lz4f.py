@@ -126,10 +126,11 @@ def parse_blocks(data: bytes, info: FrameInfo, start: int) -> tuple[list[Block],
 
 
 def assemble_frame(blocks: list[tuple[bytes, bool]], content_size: int,
-                   block_size_id: int = 4) -> bytes:
-    """Assemble an independent-block LZ4F frame from (payload, uncompressed)
-    pairs."""
-    out = bytearray(build_frame_header(content_size, block_size_id, True))
+                   block_size_id: int = 4,
+                   block_independent: bool = True) -> bytes:
+    """Assemble an LZ4F frame from (payload, uncompressed) pairs."""
+    out = bytearray(build_frame_header(content_size, block_size_id,
+                                       block_independent))
     for payload, uncompressed in blocks:
         word = len(payload) | (UNCOMPRESSED_BIT if uncompressed else 0)
         out += struct.pack("<I", word)

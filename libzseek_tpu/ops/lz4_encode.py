@@ -35,27 +35,37 @@ def _ext_count(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(v < 15, 0, 1 + (v - 15) // 255)
 
 
-@partial(jax.jit, static_argnames=("seg_size", "max_len", "max_back"))
+@partial(jax.jit, static_argnames=("seg_size", "max_len", "max_back",
+                                   "dual", "ctx_len"))
 def lz4_encode_blocks(x: jnp.ndarray, lengths: jnp.ndarray, *,
-                      seg_size: int = 4, max_len: int = 48, max_back: int = 4):
-    """Encode a batch of independent LZ4 blocks.
+                      seg_size: int = 4, max_len: int = 48, max_back: int = 4,
+                      dual: bool = True, ctx_len: int = 0,
+                      min_ref: jnp.ndarray | None = None):
+    """Encode a batch of LZ4 blocks.
 
     x: (B, N) uint8 zero-padded input rows; lengths: (B,) int32 valid bytes.
     Returns (out, out_lens): out (B, M) uint8, out_lens (B,) int32.  Rows
     whose encoded size >= their input length should be stored uncompressed by
     the frame layer (LZ4F uncompressed-block flag), like stock lz4.
+
+    Linked-block mode (stock LZ4F default, which the reference inherits via
+    LZ4F_compressFrame defaults): pass the previous block's window as a
+    ctx_len-byte prefix of each row — the block's bytes start at ctx_len,
+    matches may reference back into the prefix (but not below min_ref (B,),
+    the first real history byte).  All emitted geometry is relative, so the
+    packing below is position-base agnostic.
     """
     B, N = x.shape
     nseg = N // seg_size
-    nseq = nseg + 1
-    Mcap = lz4_compress_bound(N)
+    nseq = (N - ctx_len) // seg_size + 1
+    Mcap = lz4_compress_bound(N - ctx_len)
     Mcap += (-Mcap) % 128
 
     p, off, e, has = M.find_segment_matches(
         x, lengths, seg_size=seg_size, max_len=max_len, min_tail=12,
-        max_back=max_back)
+        max_back=max_back, dual=dual, ctx_len=ctx_len, min_ref=min_ref)
     sel, start, end, off, lit_from, c_final = M.greedy_select(
-        p, off, e, has, lengths, min_tail=12)
+        p, off, e, has, lengths, min_tail=12, c0=ctx_len)
     is_head, merged_end = M.merge_runs(sel, start, end, off, lit_from)
 
     # --- compact heads into per-sequence arrays (B, nseq) ---

@@ -97,16 +97,20 @@ def extend_match_lengths(x: jnp.ndarray, p: jnp.ndarray, q: jnp.ndarray,
 
 
 def backward_extension(x: jnp.ndarray, p: jnp.ndarray, q: jnp.ndarray,
-                       active: jnp.ndarray, max_back: int) -> jnp.ndarray:
+                       active: jnp.ndarray, max_back: int,
+                       min_p: int = 0,
+                       min_q: jnp.ndarray | None = None) -> jnp.ndarray:
     """How many bytes before p also match before q (greedy LZ4's backward
     match extension over pending literals).  Returns (B, K) int32 in
-    [0, max_back], never crossing q == 0."""
+    [0, max_back].  min_p keeps the match start out of a context prefix
+    (linked blocks); min_q (B,) keeps the reference inside valid history."""
     bk = jnp.zeros(p.shape, dtype=jnp.int32)
     alive = active
+    qlim = 0 if min_q is None else min_q[:, None]
     for t in range(1, max_back + 1):
         a = C.take1(x, p - t).astype(jnp.int32)
         b = C.take1(x, q - t).astype(jnp.int32)
-        ok = alive & (q - t >= 0) & (p - t >= 0) & (a == b)
+        ok = alive & (q - t >= qlim) & (p - t >= min_p) & (a == b)
         bk = bk + ok.astype(jnp.int32)
         alive = ok
     return bk
@@ -120,12 +124,13 @@ def _log2i(v: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("seg_size", "max_len", "max_offset",
                                    "min_tail", "max_back", "end_margin",
-                                   "dual"))
+                                   "dual", "ctx_len"))
 def find_segment_matches(x: jnp.ndarray, lengths: jnp.ndarray, *,
                          seg_size: int = 8, max_len: int = 64,
                          max_offset: int = 65535, min_tail: int = 12,
                          max_back: int = 0, end_margin: int = 5,
-                         dual: bool = False):
+                         dual: bool = False, ctx_len: int = 0,
+                         min_ref: jnp.ndarray | None = None):
     """Per-segment match candidates: the earliest valid match start in each
     seg_size-byte segment, with its offset and extended length.
 
@@ -146,17 +151,28 @@ def find_segment_matches(x: jnp.ndarray, lengths: jnp.ndarray, *,
     accidental collision at an unstable offset, while the 8-byte candidate
     stays on the true period so adjacent segments share an offset and
     merge_runs can chain them into long sequences.
+
+    ctx_len > 0 runs in linked-block mode: positions [0, ctx_len) are
+    history only (the previous block's window) — matches must START at or
+    after ctx_len but may reference backward into the context.  min_ref
+    (B,) bounds how far back references may reach (first block of a frame
+    has no real history below ctx_len).
     """
     B, N = x.shape
     assert N % seg_size == 0
     nseg = N // seg_size
     pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
     segbase = jnp.arange(nseg, dtype=jnp.int32)[None, :] * seg_size
+    ref_lim = None if min_ref is None else min_ref[:, None]
 
     def seg_candidate(window):
         cand = nearest_prev_occurrence(x, lengths, window)
         valid = (cand >= 0) & (pos - cand <= max_offset) & \
             (pos <= lengths[:, None] - min_tail)
+        if ctx_len:
+            valid = valid & (pos >= ctx_len)
+        if ref_lim is not None:
+            valid = valid & (cand >= ref_lim)
         vseg = valid.reshape(B, nseg, seg_size)
         has = jnp.any(vseg, axis=2)
         first = jnp.argmax(vseg, axis=2).astype(jnp.int32)
@@ -176,7 +192,8 @@ def find_segment_matches(x: jnp.ndarray, lengths: jnp.ndarray, *,
         l = jnp.where(use8, l8, l)
         has = has | has8
     if max_back > 0:
-        bk = backward_extension(x, p, q, has, max_back)
+        bk = backward_extension(x, p, q, has, max_back, min_p=ctx_len,
+                                min_q=min_ref)
         p = p - bk
         q = q - bk
         l = l + bk
@@ -187,7 +204,7 @@ def find_segment_matches(x: jnp.ndarray, lengths: jnp.ndarray, *,
 
 
 def greedy_select(p, off, e, has, lengths, min_tail: int = 12,
-                  min_match: int = 4, unroll: int = 4):
+                  min_match: int = 4, unroll: int = 4, c0: int = 0):
     """Greedy left-to-right coverage over segments, batched over rows.
 
     The carry is the per-row cover end c.  A segment's match is selected if
@@ -226,7 +243,7 @@ def greedy_select(p, off, e, has, lengths, min_tail: int = 12,
 
     xs = (fold(p), fold(off), fold(e), fold(has))
     c_final, (sel, start, lit_from) = jax.lax.scan(
-        step, jnp.zeros((B,), dtype=jnp.int32), xs)
+        step, jnp.full((B,), c0, dtype=jnp.int32), xs)
 
     def unfold(a):
         return jnp.moveaxis(a.reshape(nseg, B), 0, 1)

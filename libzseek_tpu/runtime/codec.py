@@ -28,7 +28,13 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 class LZ4Codec:
-    """LZ4F frames with 64 KiB independent blocks.
+    """LZ4F frames with 64 KiB blocks — linked by default, like the
+    reference's LZ4F_compressFrame defaults (/root/reference/src/compress.c:
+    204-207 sets only autoFlush + block size; blockMode stays linked).
+
+    Linked blocks keep full batch parallelism: each row carries the previous
+    block's 64 KiB window as a context prefix, so matches reach across block
+    boundaries without any cross-row dependency.
 
     level maps to match-candidate granularity (finer = better ratio,
     more sequential scan steps), the analog of LZ4's acceleration knob.
@@ -36,10 +42,12 @@ class LZ4Codec:
 
     name = "lz4"
 
-    def __init__(self, level: int = 0, max_batch_blocks: int = 256):
+    def __init__(self, level: int = 0, max_batch_blocks: int = 256,
+                 block_independent: bool = False):
         self.level = level
         self.seg_size = 8 if level < 0 else 4
         self.max_batch_blocks = max_batch_blocks
+        self.block_independent = block_independent
 
     # --- compress ---
 
@@ -47,6 +55,7 @@ class LZ4Codec:
         """Compress a list of frames; returns LZ4F container bytes per frame."""
         if not frames:
             return []
+        ctx = 0 if self.block_independent else BLOCK
         # split every frame into blocks; batch all blocks together
         spans = []  # (frame_idx, start, size)
         for fi, fr in enumerate(frames):
@@ -57,13 +66,22 @@ class LZ4Codec:
         for lo in range(0, len(spans), self.max_batch_blocks):
             chunk = spans[lo: lo + self.max_batch_blocks]
             B = len(chunk)
-            X = np.zeros((B, BLOCK), np.uint8)
+            X = np.zeros((B, ctx + BLOCK), np.uint8)
             lens = np.zeros((B,), np.int32)
+            min_ref = np.zeros((B,), np.int32)
             for i, (fi, s, sz) in enumerate(chunk):
-                X[i, :sz] = np.frombuffer(frames[fi], np.uint8, sz, s)
-                lens[i] = sz
+                X[i, ctx: ctx + sz] = np.frombuffer(frames[fi], np.uint8,
+                                                    sz, s)
+                lens[i] = ctx + sz
+                if ctx:
+                    clen = min(BLOCK, s)  # window available in this frame
+                    if clen:
+                        X[i, ctx - clen: ctx] = np.frombuffer(
+                            frames[fi], np.uint8, clen, s - clen)
+                    min_ref[i] = ctx - clen
             out, olens = lz4_encode_blocks(
-                jnp.asarray(X), jnp.asarray(lens), seg_size=self.seg_size)
+                jnp.asarray(X), jnp.asarray(lens), seg_size=self.seg_size,
+                ctx_len=ctx, min_ref=jnp.asarray(min_ref))
             out = np.asarray(out)
             olens = np.asarray(olens)
             for i in range(B):
@@ -84,7 +102,8 @@ class LZ4Codec:
                     blocks.append((bytes(fr[s: s + sz]), True))
                 else:
                     blocks.append((payload, False))
-            out_frames.append(lz4f.assemble_frame(blocks, n))
+            out_frames.append(lz4f.assemble_frame(
+                blocks, n, block_independent=self.block_independent))
         return out_frames
 
     # --- decompress ---
