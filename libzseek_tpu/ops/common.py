@@ -114,6 +114,23 @@ def ff_run_length(x: jnp.ndarray, value: int = 0xFF) -> jnp.ndarray:
     return nxt - pos
 
 
+def hist256(x: jnp.ndarray, mask: jnp.ndarray, chunk: int = 16384) -> jnp.ndarray:
+    """Masked per-row byte histogram: (B, N) uint8 + (B, N) bool -> (B, 256)
+    int32.  Compare-and-reduce over value planes instead of a scatter-add —
+    scatters run near 100M elem/s on TPU while the dense compare+sum is
+    VPU-rate, so this is ~an order of magnitude faster for N >= 64K."""
+    B, N = x.shape
+    xi = x.astype(jnp.int32)
+    m = mask.astype(jnp.int32)
+    vals = jnp.arange(256, dtype=jnp.int32)
+    parts = []
+    for s in range(0, N, chunk):
+        xc = xi[:, s: s + chunk, None]
+        mc = m[:, s: s + chunk, None]
+        parts.append(jnp.sum((xc == vals[None, None, :]) * mc, axis=1))
+    return sum(parts)
+
+
 def resolve_copy_chains(src: jnp.ndarray, rounds: int) -> jnp.ndarray:
     """Pointer-double src indices until fixpoint: src[i] <- src[src[i]].
 

@@ -178,19 +178,25 @@ def find_segment_matches(x: jnp.ndarray, lengths: jnp.ndarray, *,
         first = jnp.argmax(vseg, axis=2).astype(jnp.int32)
         p = segbase + first
         q = C.take1(cand, p)
-        l = extend_match_lengths(x, p, q, has, max_len)
-        return p, q, l, has
+        return p, q, has
 
-    p, q, l, has = seg_candidate(4)
+    p, q, has = seg_candidate(4)
     if dual:
-        p8, q8, l8, has8 = seg_candidate(8)
-        score4 = jnp.where(has, 8 * l - _log2i(p - q), -(1 << 30))
-        score8 = jnp.where(has8, 8 * l8 - _log2i(p8 - q8), -(1 << 30))
+        # Pick the winner BEFORE the expensive extension (the gathers in
+        # extend_match_lengths dominate the whole parse, so only one
+        # candidate can afford it).  One 4-byte probe bounds the 4-window
+        # candidate's promise; the 8-window candidate is >= 8 by
+        # construction, and whenever the 4-candidate reaches 8 bytes the
+        # nearest-8 occurrence is at most as far away.
+        p8, q8, has8 = seg_candidate(8)
+        l4p = extend_match_lengths(x, p, q, has, 8)
+        score4 = jnp.where(has, 8 * l4p - _log2i(p - q), -(1 << 30))
+        score8 = jnp.where(has8, 8 * 8 - _log2i(p8 - q8), -(1 << 30))
         use8 = score8 > score4
         p = jnp.where(use8, p8, p)
         q = jnp.where(use8, q8, q)
-        l = jnp.where(use8, l8, l)
         has = has | has8
+    l = extend_match_lengths(x, p, q, has, max_len)
     if max_back > 0:
         bk = backward_extension(x, p, q, has, max_back, min_p=ctx_len,
                                 min_q=min_ref)

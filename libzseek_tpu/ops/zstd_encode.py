@@ -62,7 +62,7 @@ def ml_code_dev(ml):
 @partial(jax.jit, static_argnames=("seg_size", "max_len", "max_back",
                                    "max_offset", "dual"))
 def zstd_sequences(x: jnp.ndarray, lengths: jnp.ndarray, *,
-                   seg_size: int = 4, max_len: int = 48, max_back: int = 4,
+                   seg_size: int = 4, max_len: int = 16, max_back: int = 0,
                    max_offset: int = (1 << 17) - 1, dual: bool = True):
     """LZ77 parse for zstd blocks.
 
@@ -83,9 +83,7 @@ def zstd_sequences(x: jnp.ndarray, lengths: jnp.ndarray, *,
     # must be explicit or far/short matches bloat the sequence section.
     pos = jnp.broadcast_to(np.arange(N, dtype=np.int32)[None, :], (B, N))
     in_range = pos < lengths[:, None]
-    hist_all = jnp.zeros((B, 256), jnp.int32)
-    hist_all = C.scatter1_add(hist_all, x.astype(jnp.int32),
-                              jnp.ones((B, N), jnp.int32), in_range)
+    hist_all = C.hist256(x, in_range)
     pr = hist_all.astype(jnp.float32) / jnp.maximum(
         lengths[:, None].astype(jnp.float32), 1.0)
     H = -jnp.sum(jnp.where(pr > 0, pr * jnp.log2(jnp.maximum(pr, 1e-9)), 0.0),
@@ -124,9 +122,7 @@ def zstd_sequences(x: jnp.ndarray, lengths: jnp.ndarray, *,
     lit_count = jnp.sum(is_lit.astype(jnp.int32), axis=1)
     literals = jnp.zeros((B, N), jnp.uint8)
     literals = C.scatter1_set(literals, lit_rank, x, is_lit)
-    hist = jnp.zeros((B, 256), jnp.int32)
-    hist = C.scatter1_add(hist, x.astype(jnp.int32),
-                          jnp.ones((B, N), jnp.int32), is_lit)
+    hist = C.hist256(x, is_lit)
     return dict(ll=ll, ml=ml, offv=offv, n_seq=n_seq,
                 last_literals=last_literals, literals=literals,
                 lit_count=lit_count, hist=hist)
@@ -186,9 +182,10 @@ def _enc_tables_dev():
     return tt(_LL_ET), tt(_OF_ET), tt(_ML_ET)
 
 
-@partial(jax.jit, static_argnames=("out_bytes",))
+@partial(jax.jit, static_argnames=("out_bytes", "smax"))
 def fse_encode_sequences(ll: jnp.ndarray, ml: jnp.ndarray, offv: jnp.ndarray,
-                         n_seq: jnp.ndarray, out_bytes: int):
+                         n_seq: jnp.ndarray, out_bytes: int,
+                         smax: int | None = None):
     """Encode sequence codes with the predefined FSE tables.
 
     Emission order (forward write order, = what libzstd's
@@ -197,9 +194,16 @@ def fse_encode_sequences(ll: jnp.ndarray, ml: jnp.ndarray, offv: jnp.ndarray,
     LL) and extra bits (LL, ML, OF); finally state flushes (ML, OF, LL) and
     the sentinel bit.
 
+    Only the 3-state tANS chain is sequential; per-sequence codes and
+    extra-bit values are precomputed vectorized, reversed into encode order,
+    and the lax.scan carries just three (B,) states.  smax (static) bounds
+    the scan trip count — callers that already hold n_seq on the host pass a
+    small bucket instead of the worst-case NSEQ.
+
     Returns (stream (B, out_bytes) uint8, byte_sizes (B,) int32).
     """
     B, NSEQ = ll.shape
+    S = NSEQ if smax is None else min(smax, NSEQ)
     (ll_st, ll_dnb, ll_dfs), (of_st, of_dnb, of_dfs), (ml_st, ml_dnb, ml_dfs) = \
         _enc_tables_dev()
     llc = ll_code_dev(ll)
@@ -210,20 +214,24 @@ def fse_encode_sequences(ll: jnp.ndarray, ml: jnp.ndarray, offv: jnp.ndarray,
     ml_bits_t = jnp.asarray(zf.ML_BITS, jnp.int32)
     ml_base_t = jnp.asarray(zf.ML_BASELINE, jnp.int32)
 
-    def seq_at(t):
-        """Gather per-lane sequence n_seq-1-t (clamped)."""
-        i = jnp.clip(n_seq - 1 - t, 0, NSEQ - 1)[:, None]
-        g = lambda a: jnp.take_along_axis(a, i, axis=1)[:, 0]
-        return g(llc), g(mlc), g(ofc), g(ll), g(ml), g(offv)
+    # reverse into encode order: step t handles sequence n_seq-1-t
+    steps = jnp.broadcast_to(np.arange(S, dtype=np.int32)[None, :], (B, S))
+    rev_idx = jnp.clip(n_seq[:, None] - 1 - steps, 0, NSEQ - 1)
 
-    def extras(llc_t, mlc_t, ofc_t, ll_t, ml_t, offv_t):
-        llb = ll_bits_t[jnp.clip(llc_t, 0, 35)]
-        llv = ll_t - ll_base_t[jnp.clip(llc_t, 0, 35)]
-        mlb = ml_bits_t[jnp.clip(mlc_t, 0, 52)]
-        mlv = ml_t - ml_base_t[jnp.clip(mlc_t, 0, 52)]
-        ofb = ofc_t
-        ofv_x = offv_t - (1 << jnp.maximum(ofc_t, 0))
-        return (llv, llb), (mlv, mlb), (ofv_x, ofb)
+    def rev(a):
+        return jnp.take_along_axis(a, rev_idx, axis=1)
+
+    r_llc, r_mlc, r_ofc = rev(llc), rev(mlc), rev(ofc)
+    r_ll, r_ml, r_offv = rev(ll), rev(ml), rev(offv)
+    active = steps < n_seq[:, None]
+    later = active & (steps > 0)
+    # extra-bit values/counts, fully vectorized
+    llb = jnp.where(active, ll_bits_t[jnp.clip(r_llc, 0, 35)], 0)
+    llv = (r_ll - ll_base_t[jnp.clip(r_llc, 0, 35)]).astype(jnp.uint32)
+    mlb = jnp.where(active, ml_bits_t[jnp.clip(r_mlc, 0, 52)], 0)
+    mlv = (r_ml - ml_base_t[jnp.clip(r_mlc, 0, 52)]).astype(jnp.uint32)
+    ofb = jnp.where(active, r_ofc, 0)
+    ofvx = (r_offv - (1 << jnp.maximum(r_ofc, 0))).astype(jnp.uint32)
 
     def enc_sym(state, sym, st_tab, dnb, dfs):
         nb = (state + dnb[sym]) >> 16
@@ -236,51 +244,41 @@ def fse_encode_sequences(ll: jnp.ndarray, ml: jnp.ndarray, offv: jnp.ndarray,
         v = (nb << 16) - dnb[sym]
         return st_tab[(v >> nb) + dfs[sym]]
 
-    # emission buffers: 6 per step
-    vals = jnp.zeros((B, NSEQ, 6), jnp.uint32)
-    nbs = jnp.zeros((B, NSEQ, 6), jnp.int32)
-
-    def body(state):
-        t, s_ll, s_of, s_ml, vals, nbs = state
-        llc_t, mlc_t, ofc_t, ll_t, ml_t, offv_t = seq_at(t)
-        active = t < n_seq
-        first = (t == 0) & active
-        later = (t > 0) & active
-        (llv, llb), (mlv, mlb), (ofvx, ofb) = extras(
-            llc_t, mlc_t, ofc_t, ll_t, ml_t, offv_t)
-        # state-bit emissions (only for t >= 1)
+    def scan_step(carry, xs):
+        s_ll, s_of, s_ml = carry
+        llc_t, mlc_t, ofc_t, first_t, later_t = xs
         n_of, bv_of, nb_of = enc_sym(s_of, ofc_t, of_st, of_dnb, of_dfs)
         n_ml, bv_ml, nb_ml = enc_sym(s_ml, mlc_t, ml_st, ml_dnb, ml_dfs)
         n_ll, bv_ll, nb_ll = enc_sym(s_ll, llc_t, ll_st, ll_dnb, ll_dfs)
-        # init states at t == 0
         i_ll = init_state(llc_t, ll_st, ll_dnb, ll_dfs)
         i_of = init_state(ofc_t, of_st, of_dnb, of_dfs)
         i_ml = init_state(mlc_t, ml_st, ml_dnb, ml_dfs)
-        s_ll = jnp.where(first, i_ll, jnp.where(later, n_ll, s_ll))
-        s_of = jnp.where(first, i_of, jnp.where(later, n_of, s_of))
-        s_ml = jnp.where(first, i_ml, jnp.where(later, n_ml, s_ml))
-        z = jnp.zeros_like(llv)
-        step_vals = jnp.stack([
-            jnp.where(later, bv_of, 0), jnp.where(later, bv_ml, 0),
-            jnp.where(later, bv_ll, 0),
-            jnp.where(active, llv, z), jnp.where(active, mlv, z),
-            jnp.where(active, ofvx, z)], axis=1).astype(jnp.uint32)
-        step_nbs = jnp.stack([
-            jnp.where(later, nb_of, 0), jnp.where(later, nb_ml, 0),
-            jnp.where(later, nb_ll, 0),
-            jnp.where(active, llb, 0), jnp.where(active, mlb, 0),
-            jnp.where(active, ofb, 0)], axis=1)
-        vals = jax.lax.dynamic_update_slice(vals, step_vals[:, None, :], (0, t, 0))
-        nbs = jax.lax.dynamic_update_slice(nbs, step_nbs[:, None, :], (0, t, 0))
-        return t + 1, s_ll, s_of, s_ml, vals, nbs
+        s_ll = jnp.where(first_t, i_ll, jnp.where(later_t, n_ll, s_ll))
+        s_of = jnp.where(first_t, i_of, jnp.where(later_t, n_of, s_of))
+        s_ml = jnp.where(first_t, i_ml, jnp.where(later_t, n_ml, s_ml))
+        sb = jnp.stack([jnp.where(later_t, bv_of, 0),
+                        jnp.where(later_t, bv_ml, 0),
+                        jnp.where(later_t, bv_ll, 0)]).astype(jnp.uint32)
+        sn = jnp.stack([jnp.where(later_t, nb_of, 0),
+                        jnp.where(later_t, nb_ml, 0),
+                        jnp.where(later_t, nb_ll, 0)])
+        return (s_ll, s_of, s_ml), (sb, sn)
 
-    def cond(state):
-        t = state[0]
-        return (t < NSEQ) & jnp.any(t < n_seq)
-
+    first = active & (steps == 0)
     z32 = jnp.zeros((B,), jnp.int32)
-    t, s_ll, s_of, s_ml, vals, nbs = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), z32, z32, z32, vals, nbs))
+    xs = (r_llc.T, r_mlc.T, r_ofc.T, first.T, later.T)
+    (s_ll, s_of, s_ml), (sb, sn) = jax.lax.scan(
+        scan_step, (z32, z32, z32), xs)
+    # sb: (S, 3, B) -> (B, S, 3)
+    state_vals = jnp.transpose(sb, (2, 0, 1))
+    state_nbs = jnp.transpose(sn, (2, 0, 1))
+
+    # per-step emission: [of_state, ml_state, ll_state, llv, mlv, ofvx]
+    extra_vals = jnp.stack([llv, mlv, ofvx], axis=2)
+    extra_nbs = jnp.stack([llb, mlb, ofb], axis=2)
+    vals = jnp.concatenate([state_vals, extra_vals.astype(jnp.uint32)],
+                           axis=2).reshape(B, S * 6)
+    nbs = jnp.concatenate([state_nbs, extra_nbs], axis=2).reshape(B, S * 6)
 
     # flush states (ML, OF, LL) + sentinel
     has = n_seq > 0
@@ -296,8 +294,8 @@ def fse_encode_sequences(ll: jnp.ndarray, ml: jnp.ndarray, offv: jnp.ndarray,
         jnp.where(has, zf.LL_DEFAULT_LOG, 0),
         jnp.where(has, 1, 0)], axis=1)
 
-    all_vals = jnp.concatenate([vals.reshape(B, NSEQ * 6), flush_vals], axis=1)
-    all_nbs = jnp.concatenate([nbs.reshape(B, NSEQ * 6), flush_nbs], axis=1)
+    all_vals = jnp.concatenate([vals, flush_vals], axis=1)
+    all_nbs = jnp.concatenate([nbs, flush_nbs], axis=1)
     words, total_bits = BITS.pack_bits(all_vals, all_nbs, out_bytes // 4)
     byte_sizes = (total_bits + 7) >> 3  # sentinel included in total_bits
     return BITS.words_to_bytes(words, out_bytes), byte_sizes

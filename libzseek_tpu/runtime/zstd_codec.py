@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -195,14 +196,21 @@ class ZstdCodec:
             modes[i] = "huf"
             code_vals[i] = codes
             code_bits[i] = lengths
-        # device: literal + sequence streams
-        lit_cap = _ceil_to(N + 64, 128)
+        # device: literal + sequence streams, shapes bucketed to the batch's
+        # actual literal/sequence counts (power-of-two to bound recompiles)
+        lmax = int(lit_count.max()) if B else 0
+        lcap = min(N, max(128, 1 << max(0, (lmax - 1)).bit_length()))
+        lit_cap = _ceil_to(lcap + 64, 128)
         streams, sizes4 = huffman_encode_literals(
-            seqs["literals"], seqs["lit_count"],
+            jax.lax.slice_in_dim(seqs["literals"], 0, lcap, axis=1),
+            seqs["lit_count"],
             jnp.asarray(code_vals), jnp.asarray(code_bits), lit_cap)
-        seq_cap = _ceil_to(N // 2 + 64, 128)
+        nmax = int(n_seq.max()) if B else 0
+        smax = max(16, 1 << max(0, (nmax - 1)).bit_length())
+        seq_cap = _ceil_to(min(N // 2, 11 * smax) + 64, 128)
         seq_stream, seq_sizes = fse_encode_sequences(
-            seqs["ll"], seqs["ml"], seqs["offv"], seqs["n_seq"], seq_cap)
+            seqs["ll"], seqs["ml"], seqs["offv"], seqs["n_seq"], seq_cap,
+            smax=smax)
         streams = np.asarray(streams)
         sizes4 = np.asarray(sizes4)
         seq_stream = np.asarray(seq_stream)

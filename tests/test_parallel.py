@@ -1,0 +1,57 @@
+"""Mesh-sharded frame compression tests (virtual 8-device CPU mesh, per
+SURVEY.md §4 multi-node strategy).  Sharding must not change bytes: a
+batch compressed with rows sharded over the mesh equals the single-device
+result, and the graft dry-run path (full pipeline under in/out shardings
+with a replicated-output collective) executes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libzseek_tpu.ops.lz4_encode import lz4_encode_blocks
+from libzseek_tpu.parallel import mesh as PM
+from libzseek_tpu.testing.corpus import mixed_corpus
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+def test_sharded_lz4_encode_matches_single_device(eight_devices, rng):
+    m = PM.frame_mesh(eight_devices)
+    B, N = 8, 1 << 15
+    X = np.stack([mixed_corpus(np.random.default_rng(i), N) for i in range(B)])
+    lens = np.full((B,), N, np.int32)
+    out0, olen0 = lz4_encode_blocks(jnp.asarray(X), jnp.asarray(lens))
+    Xs, Ls = PM.shard_rows(m, X, lens)
+    out1, olen1 = lz4_encode_blocks(Xs, Ls)
+    assert np.array_equal(np.asarray(olen0), np.asarray(olen1))
+    assert np.array_equal(np.asarray(out0), np.asarray(out1))
+
+
+def test_pad_rows():
+    a = np.arange(10).reshape(5, 2)
+    (b,), n = PM.pad_rows([a], 8)
+    assert n == 5 and b.shape == (8, 2) and (b[5:] == 0).all()
+    (c,), n2 = PM.pad_rows([a], 5)
+    assert c is a and n2 == 5
+
+
+def test_ordered_gather(eight_devices):
+    m = PM.frame_mesh(eight_devices)
+    payloads = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    lengths = np.array([1, 2, 3, 4, 5, 6, 7, 8], np.int32)
+    ps, ls = PM.shard_rows(m, payloads, lengths)
+    got = PM.ordered_gather(ps, ls)
+    for i in range(8):
+        assert np.array_equal(got[i], payloads[i, : lengths[i]])
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+    g.dryrun_multichip(min(8, len(jax.devices())))
