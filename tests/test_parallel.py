@@ -55,3 +55,14 @@ def test_ordered_gather(eight_devices):
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_distributed_gather_single_process(eight_devices):
+    from libzseek_tpu.parallel import distributed as D
+    m = PM.frame_mesh(eight_devices)
+    payloads = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    lengths = np.arange(1, 9, dtype=np.int32)
+    ps, ls = PM.shard_rows(m, payloads, lengths)
+    frames = D.gather_frames_in_order(m, ps, ls)
+    assert frames[3] == payloads[3, :4].tobytes()
+    assert D.is_writer_process()
