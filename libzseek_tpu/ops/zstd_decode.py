@@ -352,11 +352,13 @@ def _read_wide(win32u, start, nb):
     return lo | (hi << 16)
 
 
-@partial(jax.jit, static_argnames=("out_cap",))
+@partial(jax.jit, static_argnames=("out_cap", "unroll"))
 def huf_decode_lanes(win32u: jnp.ndarray, total_bits: jnp.ndarray,
                      n_out: jnp.ndarray, tid: jnp.ndarray,
-                     dtabs: jnp.ndarray, out_cap: int):
-    """Decode Huffman lanes (streams) symbol-at-a-time, lanes vectorized.
+                     dtabs: jnp.ndarray, out_cap: int, unroll: int = 8):
+    """Decode Huffman lanes (streams) symbol-at-a-time, lanes vectorized
+    and `unroll` symbols per loop iteration (the dependent chain per symbol
+    is short; loop bookkeeping dominates otherwise).
 
     win32u: (L, SB) uint32 LE byte windows of each stream; total_bits (L,);
     n_out (L,) symbols to produce; tid (L,) table ids into dtabs
@@ -365,33 +367,38 @@ def huf_decode_lanes(win32u: jnp.ndarray, total_bits: jnp.ndarray,
     L = win32u.shape[0]
     flat = dtabs.reshape(-1)
     peek = jnp.full((L,), _HUF_PEEK, jnp.int32)
+    u = unroll
+    cap = out_cap + (-out_cap) % u
 
     def cond(state):
         t, pos, out = state
-        return (t < out_cap) & jnp.any(t < n_out)
+        return (t < cap) & jnp.any(t < n_out)
 
     def body(state):
         t, pos, out = state
-        active = t < n_out
-        v = _read_at(win32u, pos - _HUF_PEEK, peek)
-        ent = jnp.take(flat, tid * (1 << _HUF_PEEK) + v, mode="clip")
-        nb = ent >> 8
-        sym = (ent & 255).astype(jnp.uint8)
-        out = out.at[:, t].set(jnp.where(active, sym, jnp.uint8(0)))
-        pos = jnp.where(active, pos - nb, pos)
-        return t + 1, pos, out
+        subs = []
+        for k in range(u):
+            active = t + k < n_out
+            v = _read_at(win32u, pos - _HUF_PEEK, peek)
+            ent = jnp.take(flat, tid * (1 << _HUF_PEEK) + v, mode="clip")
+            nb = ent >> 8
+            subs.append(jnp.where(active, ent & 255, 0).astype(jnp.uint8))
+            pos = jnp.where(active, pos - nb, pos)
+        block = jnp.stack(subs, axis=1)  # (L, u)
+        out = jax.lax.dynamic_update_slice(out, block, (0, t))
+        return t + u, pos, out
 
-    out0 = jnp.zeros((L, out_cap), jnp.uint8)
+    out0 = jnp.zeros((L, cap), jnp.uint8)
     t, pos, out = jax.lax.while_loop(
         cond, body, (jnp.int32(0), total_bits, out0))
-    return out, pos >= 0
+    return out[:, :out_cap], pos >= 0
 
 
-@partial(jax.jit, static_argnames=("max_seqs",))
+@partial(jax.jit, static_argnames=("max_seqs", "unroll"))
 def fse_decode_seq_lanes(win32u: jnp.ndarray, total_bits: jnp.ndarray,
                          n_seq: jnp.ndarray,
                          tids: jnp.ndarray, tls: jnp.ndarray,
-                         tabs: jnp.ndarray, max_seqs: int):
+                         tabs: jnp.ndarray, max_seqs: int, unroll: int = 4):
     """Decode sequence sections, lanes = blocks.
 
     tids/tls: (L, 3) int32 table ids / logs in order (LL, OF, ML) into tabs
@@ -421,14 +428,15 @@ def fse_decode_seq_lanes(win32u: jnp.ndarray, total_bits: jnp.ndarray,
     r2 = jnp.full((L,), -(2 * _REP_TAG), jnp.int32)
     r3 = jnp.full((L,), -(3 * _REP_TAG), jnp.int32)
 
-    z = jnp.zeros((L, max_seqs), jnp.int32)
+    u = unroll
+    cap = max_seqs + (-max_seqs) % u
+    z = jnp.zeros((L, cap), jnp.int32)
 
     def cond(state):
         t = state[0]
-        return (t < max_seqs) & jnp.any(t < n_seq)
+        return (t < cap) & jnp.any(t < n_seq)
 
-    def body(state):
-        (t, pos, s_ll, s_of, s_ml, r1, r2, r3, lls, mls, offs) = state
+    def substep(t, pos, s_ll, s_of, s_ml, r1, r2, r3):
         active = t < n_seq
         e_ll, e_of, e_ml = ent(0, s_ll), ent(1, s_of), ent(2, s_ml)
         llc, ofc, mlc = e_ll & 255, e_of & 255, e_ml & 255
@@ -472,17 +480,184 @@ def fse_decode_seq_lanes(win32u: jnp.ndarray, total_bits: jnp.ndarray,
         s_ll = jnp.where(upd, s_ll_n, s_ll)
         s_ml = jnp.where(upd, s_ml_n, s_ml)
         s_of = jnp.where(upd, s_of_n, s_of)
-        lls = lls.at[:, t].set(jnp.where(active, ll, 0))
-        mls = mls.at[:, t].set(jnp.where(active, ml, 0))
-        offs = offs.at[:, t].set(jnp.where(active, off, 0))
-        return (t + 1, pos, s_ll, s_of, s_ml, r1, r2, r3, lls, mls, offs)
+        emit = (jnp.where(active, ll, 0), jnp.where(active, ml, 0),
+                jnp.where(active, off, 0))
+        return pos, s_ll, s_of, s_ml, r1, r2, r3, emit
+
+    def body(state):
+        (t, pos, s_ll, s_of, s_ml, r1, r2, r3, lls, mls, offs) = state
+        emits = []
+        for k in range(u):
+            pos, s_ll, s_of, s_ml, r1, r2, r3, emit = substep(
+                t + k, pos, s_ll, s_of, s_ml, r1, r2, r3)
+            emits.append(emit)
+        lls = jax.lax.dynamic_update_slice(
+            lls, jnp.stack([e[0] for e in emits], axis=1), (0, t))
+        mls = jax.lax.dynamic_update_slice(
+            mls, jnp.stack([e[1] for e in emits], axis=1), (0, t))
+        offs = jax.lax.dynamic_update_slice(
+            offs, jnp.stack([e[2] for e in emits], axis=1), (0, t))
+        return (t + u, pos, s_ll, s_of, s_ml, r1, r2, r3, lls, mls, offs)
 
     state = (jnp.int32(0), pos, s_ll, s_of, s_ml, r1, r2, r3, z, z, z)
     (t, pos, s_ll, s_of, s_ml, r1, r2, r3, lls, mls, offs) = \
         jax.lax.while_loop(cond, body, state)
+    lls, mls, offs = lls[:, :max_seqs], mls[:, :max_seqs], offs[:, :max_seqs]
     rep_final = jnp.stack([r1, r2, r3], axis=1)
     ok = pos >= 0
     return lls, mls, offs, rep_final, ok
+
+
+def _read_at_rows(win_flat: jnp.ndarray, SB: int, sid: jnp.ndarray,
+                  start: jnp.ndarray, nb: jnp.ndarray):
+    """_read_at against a flattened (NS, SB) window bank indexed per lane by
+    sid — lets many anchor-chunk lanes share one stream's bytes."""
+    s0 = jnp.maximum(start, 0)
+    idx = sid * SB + jnp.minimum(s0 >> 3, SB - 1)
+    w = jnp.take(win_flat, idx, mode="clip") >> (s0 & 7).astype(jnp.uint32)
+    mask = (jnp.uint32(1) << nb.astype(jnp.uint32)) - 1
+    v = w & mask
+    under = jnp.clip(-start, 0, 31).astype(jnp.uint32)
+    return jnp.where(start >= 0, v, (w << under) & mask).astype(jnp.int32)
+
+
+def _read_wide_rows(win_flat, SB, sid, start, nb):
+    nb_lo = jnp.minimum(nb, 16)
+    nb_hi = nb - nb_lo
+    lo = _read_at_rows(win_flat, SB, sid, start, nb_lo)
+    hi = _read_at_rows(win_flat, SB, sid, start + 16, nb_hi)
+    return lo | (hi << 16)
+
+
+@partial(jax.jit, static_argnames=("chunk_cap", "unroll"))
+def huf_decode_anchored(win_flat: jnp.ndarray, SB: int, lane_sid: jnp.ndarray,
+                        lane_bits: jnp.ndarray, lane_n: jnp.ndarray,
+                        lane_tid: jnp.ndarray, dtabs: jnp.ndarray,
+                        chunk_cap: int, unroll: int = 8):
+    """Anchored Huffman decode: every lane is an A-symbol chunk of some
+    stream, starting at an exact anchor bit position (format/hints.py) —
+    the serial symbol walk shrinks from stream length to chunk length.
+
+    win_flat: (NS*SB,) uint32 flattened stream windows; lane_sid (L,) maps
+    lanes to streams; lane_bits (L,) anchor positions; lane_n (L,) symbols
+    to produce (<= chunk_cap).  Returns (syms (L, chunk_cap) uint8, ok)."""
+    L = lane_sid.shape[0]
+    flat = dtabs.reshape(-1)
+    peek = jnp.full((L,), _HUF_PEEK, jnp.int32)
+    u = unroll
+    cap = chunk_cap + (-chunk_cap) % u
+
+    def cond(state):
+        t, pos, out = state
+        return (t < cap) & jnp.any(t < lane_n)
+
+    def body(state):
+        t, pos, out = state
+        subs = []
+        for k in range(u):
+            active = t + k < lane_n
+            v = _read_at_rows(win_flat, SB, lane_sid, pos - _HUF_PEEK, peek)
+            ent = jnp.take(flat, lane_tid * (1 << _HUF_PEEK) + v, mode="clip")
+            nb = ent >> 8
+            subs.append(jnp.where(active, ent & 255, 0).astype(jnp.uint8))
+            pos = jnp.where(active, pos - nb, pos)
+        out = jax.lax.dynamic_update_slice(out, jnp.stack(subs, axis=1),
+                                           (0, t))
+        return t + u, pos, out
+
+    out0 = jnp.zeros((L, cap), jnp.uint8)
+    t, pos, out = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), lane_bits, out0))
+    return out[:, :chunk_cap], pos >= 0
+
+
+@partial(jax.jit, static_argnames=("chunk_cap", "unroll"))
+def fse_decode_anchored(win_flat: jnp.ndarray, SB: int, lane_bid: jnp.ndarray,
+                        lane_bits: jnp.ndarray, lane_n: jnp.ndarray,
+                        lane_states: jnp.ndarray, lane_rep1: jnp.ndarray,
+                        tids: jnp.ndarray, tabs: jnp.ndarray,
+                        chunk_cap: int, unroll: int = 4):
+    """Anchored sequence decode: lanes are A-sequence chunks with exact
+    (bit position, tANS states, rep1) checkpoints from the encoder.  Only
+    valid for streams our encoder produced (predefined tables; repcodes
+    restricted to rep1-with-literals), which is what the hints sidecar
+    asserts.  lane_states: (L, 3) int32 (LL, OF, ML); tids: (L, 3) table
+    ids into tabs (T, 512).  Returns (ll, ml, off) each (L, chunk_cap)."""
+    L = lane_bid.shape[0]
+    flat = tabs.reshape(-1)
+    ll_bits_t = jnp.asarray(zf.LL_BITS, jnp.int32)
+    ll_base_t = jnp.asarray(zf.LL_BASELINE, jnp.int32)
+    ml_bits_t = jnp.asarray(zf.ML_BITS, jnp.int32)
+    ml_base_t = jnp.asarray(zf.ML_BASELINE, jnp.int32)
+
+    def ent(kind, state):
+        return jnp.take(flat, tids[:, kind] * 512 + state, mode="clip")
+
+    u = unroll
+    cap = chunk_cap + (-chunk_cap) % u
+    z = jnp.zeros((L, cap), jnp.int32)
+
+    def cond(state):
+        return (state[0] < cap) & jnp.any(state[0] < lane_n)
+
+    def substep(t, pos, s_ll, s_of, s_ml, r1):
+        active = t < lane_n
+        e_ll, e_of, e_ml = ent(0, s_ll), ent(1, s_of), ent(2, s_ml)
+        llc, ofc, mlc = e_ll & 255, e_of & 255, e_ml & 255
+        of_extra = _read_wide_rows(win_flat, SB, lane_bid, pos - ofc, ofc)
+        pos = jnp.where(active, pos - ofc, pos)
+        ofv = (jnp.int32(1) << jnp.minimum(ofc, 30)) + of_extra
+        mlb = ml_bits_t[jnp.clip(mlc, 0, zf.MAX_ML_CODE)]
+        ml = ml_base_t[jnp.clip(mlc, 0, zf.MAX_ML_CODE)] + \
+            _read_at_rows(win_flat, SB, lane_bid, pos - mlb, mlb)
+        pos = jnp.where(active, pos - mlb, pos)
+        llb = ll_bits_t[jnp.clip(llc, 0, zf.MAX_LL_CODE)]
+        ll = ll_base_t[jnp.clip(llc, 0, zf.MAX_LL_CODE)] + \
+            _read_at_rows(win_flat, SB, lane_bid, pos - llb, llb)
+        pos = jnp.where(active, pos - llb, pos)
+        off = jnp.where(ofv > 3, ofv - 3, r1)  # our streams: ofv>3 or rep1
+        r1 = jnp.where(active, off, r1)
+        upd = active & (t < lane_n - 1)
+        nb_ll = (e_ll >> 8) & 255
+        s_ll_n = (e_ll >> 16) + _read_at_rows(win_flat, SB, lane_bid,
+                                              pos - nb_ll, nb_ll)
+        pos = jnp.where(upd, pos - nb_ll, pos)
+        nb_ml = (e_ml >> 8) & 255
+        s_ml_n = (e_ml >> 16) + _read_at_rows(win_flat, SB, lane_bid,
+                                              pos - nb_ml, nb_ml)
+        pos = jnp.where(upd, pos - nb_ml, pos)
+        nb_of = (e_of >> 8) & 255
+        s_of_n = (e_of >> 16) + _read_at_rows(win_flat, SB, lane_bid,
+                                              pos - nb_of, nb_of)
+        pos = jnp.where(upd, pos - nb_of, pos)
+        s_ll = jnp.where(upd, s_ll_n, s_ll)
+        s_ml = jnp.where(upd, s_ml_n, s_ml)
+        s_of = jnp.where(upd, s_of_n, s_of)
+        emit = (jnp.where(active, ll, 0), jnp.where(active, ml, 0),
+                jnp.where(active, off, 0))
+        return pos, s_ll, s_of, s_ml, r1, emit
+
+    def body(state):
+        t, pos, s_ll, s_of, s_ml, r1, lls, mls, offs = state
+        emits = []
+        for k in range(u):
+            pos, s_ll, s_of, s_ml, r1, emit = substep(
+                t + k, pos, s_ll, s_of, s_ml, r1)
+            emits.append(emit)
+        lls = jax.lax.dynamic_update_slice(
+            lls, jnp.stack([e[0] for e in emits], axis=1), (0, t))
+        mls = jax.lax.dynamic_update_slice(
+            mls, jnp.stack([e[1] for e in emits], axis=1), (0, t))
+        offs = jax.lax.dynamic_update_slice(
+            offs, jnp.stack([e[2] for e in emits], axis=1), (0, t))
+        return (t + u, pos, s_ll, s_of, s_ml, r1, lls, mls, offs)
+
+    state = (jnp.int32(0), lane_bits, lane_states[:, 0], lane_states[:, 1],
+             lane_states[:, 2], lane_rep1, z, z, z)
+    out = jax.lax.while_loop(cond, body, state)
+    lls, mls, offs = out[6], out[7], out[8]
+    return (lls[:, :chunk_cap], mls[:, :chunk_cap], offs[:, :chunk_cap],
+            out[1] >= 0)
 
 
 @partial(jax.jit, static_argnames=("out_size",))
@@ -545,23 +720,73 @@ def _resolve_tags(vals: np.ndarray, reps: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None
-                  ) -> list[bytes]:
-    """Decode a batch of zstd frames to their uncompressed bytes."""
+def _frame_hints_usable(plan: _FramePlan, fh) -> bool:
+    """Hints apply only when every compressed block of the frame has them
+    (our encoder's output) — mixing anchored and tagged-rep blocks would
+    break the cross-block repcode chain."""
+    if fh is None:
+        return False
+    comp_blocks = [bp for bp in plan.blocks if bp.huf_lanes or bp.n_seq > 0]
+    if len(fh) != len(plan.blocks):
+        return False
+    for bp, bh in zip(plan.blocks, fh):
+        if not (bp.huf_lanes or bp.n_seq > 0):
+            continue
+        if bh is None:
+            return False
+        if bp.huf_lanes and (bh.lit is None or bh.lit.interval <= 0 or
+                             len(bh.lit.bitpos) != len(bp.huf_lanes)):
+            return False
+        if bp.n_seq > 0 and (bh.seq is None or bh.seq.interval <= 0):
+            return False
+    return True
+
+
+def _init_seq_states(stream: bytes):
+    """Host-side read of the three initial tANS states (predefined logs)."""
+    total = _sentinel_bits(stream)
+    val = int.from_bytes(stream, "little")
+    pos = total
+    s_ll = (val >> (pos - 6)) & 63
+    pos -= 6
+    s_of = (val >> (pos - 5)) & 31
+    pos -= 5
+    s_ml = (val >> (pos - 6)) & 63
+    pos -= 6
+    return pos, (s_ll, s_of, s_ml)
+
+
+def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
+                  hints: list | None = None) -> list[bytes]:
+    """Decode a batch of zstd frames to their uncompressed bytes.
+
+    hints: optional per-frame decode-anchor lists (format/hints.py) — when
+    present and consistent, Huffman/FSE streams decode as anchored chunk
+    lanes instead of full-stream serial walks."""
     if not datas:
         return []
     if d_sizes is None:
         d_sizes = [None] * len(datas)
+    if hints is None:
+        hints = [None] * len(datas)
     hufreg, fsereg = _HufReg(), _FseReg()
     plans = [_parse_frame_impl(d, hufreg, fsereg, sz)
              for d, sz in zip(datas, d_sizes)]
+    use_hints = [_frame_hints_usable(p, fh) for p, fh in zip(plans, hints)]
+    hint_of_block: dict[int, object] = {}
+    anchored: set[int] = set()
+    for p, fh, uh in zip(plans, hints, use_hints):
+        for bi, bp in enumerate(p.blocks):
+            if uh:
+                hint_of_block[id(bp)] = fh[bi]
+                anchored.add(id(bp))
 
     # --- device pass A: huffman literal lanes ---
     lanes: list[_HufLane] = []
     for bp in (b for p in plans for b in p.blocks):
-        if bp.huf_lanes:
+        if bp.huf_lanes and id(bp) not in anchored:
             lanes.extend(bp.huf_lanes)
-    lit_bytes_of_lane: list[np.ndarray] = []
+    lit_bytes_of_lane: dict[int, np.ndarray] = {}
     if lanes:
         SB = max(4, _ceil_pow2(max(len(l.stream) for l in lanes) + 4))
         cap = max(1, _ceil_pow2(max(l.n_out for l in lanes)))
@@ -581,10 +806,63 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None
         if not np.asarray(ok).all():
             raise FormatError("huffman literal stream underflow")
         for i, l in enumerate(lanes):
-            lit_bytes_of_lane.append(syms[i, : l.n_out])
+            lit_bytes_of_lane[id(l)] = syms[i, : l.n_out]
+
+    # --- device pass A': anchored huffman chunks ---
+    a_blocks = [bp for p in plans for bp in p.blocks
+                if bp.huf_lanes and id(bp) in anchored]
+    if a_blocks:
+        a_streams: list[_HufLane] = []
+        chunks: list[tuple[int, int, int, int]] = []  # (sid, bits, n, tid)
+        stream_chunks: list[tuple[int, int]] = []     # (first_chunk, count)
+        A = 0
+        for bp in a_blocks:
+            bh = hint_of_block[id(bp)]
+            Ab = bh.lit.interval
+            A = max(A, Ab)
+            for s, lane in enumerate(bp.huf_lanes):
+                sid = len(a_streams)
+                a_streams.append(lane)
+                first = len(chunks)
+                n_chunks = max(1, -(-lane.n_out // Ab))
+                for k in range(n_chunks):
+                    bits = (_sentinel_bits(lane.stream) if k == 0
+                            else bh.lit.bitpos[s][k - 1])
+                    n = min(Ab, lane.n_out - k * Ab)
+                    chunks.append((sid, bits, n, lane.tid))
+                stream_chunks.append((first, n_chunks))
+        NS = len(a_streams)
+        SB = max(4, _ceil_pow2(max(len(l.stream) for l in a_streams) + 4))
+        sbuf = np.zeros((NS, SB), np.uint8)
+        for i, l in enumerate(a_streams):
+            sbuf[i, : len(l.stream)] = np.frombuffer(l.stream, np.uint8)
+        L = _ceil_pow2(len(chunks))
+        c_sid = np.zeros(L, np.int32)
+        c_bits = np.zeros(L, np.int32)
+        c_n = np.zeros(L, np.int32)
+        c_tid = np.zeros(L, np.int32)
+        for i, (sid, bits, n, tid_) in enumerate(chunks):
+            c_sid[i], c_bits[i], c_n[i], c_tid[i] = sid, bits, n, tid_
+        syms, ok = huf_decode_anchored(
+            jnp.asarray(_win32(sbuf).reshape(-1)), SB, jnp.asarray(c_sid),
+            jnp.asarray(c_bits), jnp.asarray(c_n), jnp.asarray(c_tid),
+            jnp.asarray(hufreg.packed()), A)
+        syms = np.asarray(syms)
+        if not np.asarray(ok)[: len(chunks)].all():
+            raise FormatError("anchored huffman stream underflow")
+        si = 0
+        for bp in a_blocks:
+            for lane in bp.huf_lanes:
+                first, cnt = stream_chunks[si]
+                si += 1
+                parts = [syms[first + k, : chunks[first + k][2]]
+                         for k in range(cnt)]
+                lit_bytes_of_lane[id(lane)] = np.concatenate(parts) \
+                    if parts else np.zeros(0, np.uint8)
 
     # --- device pass B: sequence sections ---
-    seq_blocks = [bp for p in plans for bp in p.blocks if bp.n_seq > 0]
+    seq_blocks = [bp for p in plans for bp in p.blocks
+                  if bp.n_seq > 0 and id(bp) not in anchored]
     seq_results: dict[int, tuple] = {}
     if seq_blocks:
         SB = max(4, _ceil_pow2(max(len(bp.seq_stream) for bp in seq_blocks) + 4))
@@ -614,9 +892,70 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None
             seq_results[id(bp)] = (lls[i, : bp.n_seq], mls[i, : bp.n_seq],
                                    offs[i, : bp.n_seq], rep_fin[i])
 
+    # --- device pass B': anchored sequence chunks ---
+    sa_blocks = [bp for p in plans for bp in p.blocks
+                 if bp.n_seq > 0 and id(bp) in anchored]
+    if sa_blocks:
+        chunks2: list[tuple] = []       # (bid, bits, n, states, rep1)
+        block_chunks: list[tuple[int, int]] = []
+        A = 0
+        for bi, bp in enumerate(sa_blocks):
+            bh = hint_of_block[id(bp)]
+            Ab = bh.seq.interval
+            A = max(A, Ab)
+            pos0, st0 = _init_seq_states(bp.seq_stream)
+            first = len(chunks2)
+            n_chunks = max(1, -(-bp.n_seq // Ab))
+            for k in range(n_chunks):
+                if k == 0:
+                    bits, st, r1 = pos0, st0, 1
+                else:
+                    bits = bh.seq.bitpos[k - 1]
+                    st = bh.seq.states[k - 1]
+                    r1 = bh.seq.rep1[k - 1] if hasattr(bh.seq, "rep1") else 1
+                chunks2.append((bi, bits, min(Ab, bp.n_seq - k * Ab), st, r1))
+            block_chunks.append((first, n_chunks))
+        NB = len(sa_blocks)
+        SB = max(4, _ceil_pow2(max(len(bp.seq_stream)
+                                   for bp in sa_blocks) + 4))
+        sbuf = np.zeros((NB, SB), np.uint8)
+        for i, bp in enumerate(sa_blocks):
+            sbuf[i, : len(bp.seq_stream)] = np.frombuffer(bp.seq_stream,
+                                                          np.uint8)
+        L = _ceil_pow2(len(chunks2))
+        c_bid = np.zeros(L, np.int32)
+        c_bits = np.zeros(L, np.int32)
+        c_n = np.zeros(L, np.int32)
+        c_states = np.zeros((L, 3), np.int32)
+        c_rep1 = np.ones(L, np.int32)
+        c_tids = np.zeros((L, 3), np.int32)
+        for i, (bi, bits, n, st, r1) in enumerate(chunks2):
+            bp = sa_blocks[bi]
+            c_bid[i], c_bits[i], c_n[i] = bi, bits, n
+            c_states[i] = st
+            c_rep1[i] = r1
+            c_tids[i] = (bp.ll_tid, bp.of_tid, bp.ml_tid)
+        lls, mls, offs, ok = fse_decode_anchored(
+            jnp.asarray(_win32(sbuf).reshape(-1)), SB, jnp.asarray(c_bid),
+            jnp.asarray(c_bits), jnp.asarray(c_n), jnp.asarray(c_states),
+            jnp.asarray(c_rep1), jnp.asarray(c_tids),
+            jnp.asarray(fsereg.packed()), A)
+        lls, mls, offs = np.asarray(lls), np.asarray(mls), np.asarray(offs)
+        if not np.asarray(ok)[: len(chunks2)].all():
+            raise FormatError("anchored sequence stream underflow")
+        for bi, bp in enumerate(sa_blocks):
+            first, cnt = block_chunks[bi]
+            ll = np.concatenate([lls[first + k, : chunks2[first + k][2]]
+                                 for k in range(cnt)])
+            ml = np.concatenate([mls[first + k, : chunks2[first + k][2]]
+                                 for k in range(cnt)])
+            off = np.concatenate([offs[first + k, : chunks2[first + k][2]]
+                                  for k in range(cnt)])
+            seq_results[id(bp)] = (ll, ml, off,
+                                   np.array([1, 4, 8], np.int32))
+
     # --- host: assemble per-frame pools + sequence arrays ---
     frames_exec = []
-    lane_cursor = 0
     for p in plans:
         pool_parts: list[np.ndarray] = []
         seq_ll: list[np.ndarray] = []
@@ -626,9 +965,7 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None
         for bp in p.blocks:
             if bp.huf_lanes:
                 lits = np.concatenate(
-                    lit_bytes_of_lane[lane_cursor:
-                                      lane_cursor + len(bp.huf_lanes)])
-                lane_cursor += len(bp.huf_lanes)
+                    [lit_bytes_of_lane[id(l)] for l in bp.huf_lanes])
             elif bp.lit_direct is not None:
                 lits = np.frombuffer(bp.lit_direct, np.uint8)
             else:

@@ -128,15 +128,20 @@ def zstd_sequences(x: jnp.ndarray, lengths: jnp.ndarray, *,
                 lit_count=lit_count, hist=hist)
 
 
-@partial(jax.jit, static_argnames=("out_bytes",))
+@partial(jax.jit, static_argnames=("out_bytes", "anchor_interval"))
 def huffman_encode_literals(lits: jnp.ndarray, lit_count: jnp.ndarray,
                             code_vals: jnp.ndarray, code_bits: jnp.ndarray,
-                            out_bytes: int):
+                            out_bytes: int, anchor_interval: int = 0):
     """4-stream Huffman encode.
 
     lits: (B, LC) compacted literal bytes; code_vals/code_bits: (B, 256).
     Returns (stream_bytes (B, out_bytes) uint8, sizes (B, 4) int32) where
     sizes are the closed byte sizes of the four streams (jump table source).
+
+    anchor_interval A > 0 additionally returns decode anchors (see
+    format/hints.py): anchors (B, 4, MAXA) int32 — the decoder's bit
+    position (within each stream, reading backward from its sentinel) after
+    it has produced k*A symbols, for k = 1..  -1 marks absent anchors.
     """
     B, LC = lits.shape
     idx = jnp.broadcast_to(np.arange(LC, dtype=np.int32)[None, :], (B, LC))
@@ -171,7 +176,24 @@ def huffman_encode_literals(lits: jnp.ndarray, lit_count: jnp.ndarray,
     nbits = jnp.concatenate([cb, jnp.ones((B, 4), jnp.int32)], axis=1)
     bitpos = jnp.concatenate([abs_pos, sent_pos], axis=1)
     words = BITS.pack_bits_at(values, nbits, bitpos, out_bytes // 4)
-    return BITS.words_to_bytes(words, out_bytes), sizes
+    stream_bytes = BITS.words_to_bytes(words, out_bytes)
+    if not anchor_interval:
+        return stream_bytes, sizes
+    # decode anchors: pos after the first k*A symbols of each stream =
+    # stream_bits - (cum at stream_start + k*A  -  cum at stream_start)
+    A = anchor_interval
+    maxa = (((LC + 3) // 4) + A - 1) // A
+    ks = np.arange(1, maxa + 1, dtype=np.int32) * A  # symbols per anchor
+    counts = jnp.stack([s, s, s, lit_count - 3 * s], axis=1)
+    m = jnp.broadcast_to(ks[None, None, :], (B, 4, maxa))
+    valid_a = m < counts[:, :, None]
+    cum_pad = jnp.pad(cum, ((0, 0), (1, 0)))
+    idx_a = jnp.clip(stream_start_idx[:, :, None] + m, 0, LC)
+    consumed = C.take1(cum_pad, idx_a.reshape(B, -1)).reshape(B, 4, maxa) \
+        - stream_cum0[:, :, None]
+    anchors = jnp.where(valid_a, stream_bits[:, :, None] - consumed,
+                        jnp.int32(-1))
+    return stream_bytes, sizes, anchors
 
 
 def _enc_tables_dev():
@@ -182,10 +204,10 @@ def _enc_tables_dev():
     return tt(_LL_ET), tt(_OF_ET), tt(_ML_ET)
 
 
-@partial(jax.jit, static_argnames=("out_bytes", "smax"))
+@partial(jax.jit, static_argnames=("out_bytes", "smax", "anchor_interval"))
 def fse_encode_sequences(ll: jnp.ndarray, ml: jnp.ndarray, offv: jnp.ndarray,
                          n_seq: jnp.ndarray, out_bytes: int,
-                         smax: int | None = None):
+                         smax: int | None = None, anchor_interval: int = 0):
     """Encode sequence codes with the predefined FSE tables.
 
     Emission order (forward write order, = what libzstd's
@@ -200,7 +222,11 @@ def fse_encode_sequences(ll: jnp.ndarray, ml: jnp.ndarray, offv: jnp.ndarray,
     the scan trip count — callers that already hold n_seq on the host pass a
     small bucket instead of the worst-case NSEQ.
 
-    Returns (stream (B, out_bytes) uint8, byte_sizes (B,) int32).
+    Returns (stream (B, out_bytes) uint8, byte_sizes (B,) int32); with
+    anchor_interval A > 0 additionally (anchor_bits (B, MAXA) int32 — the
+    decoder's bit position before decoding sequence k*A, -1 when absent —
+    anchor_states (B, MAXA, 3) int32 (LL, OF, ML), anchor_rep1 (B, MAXA)
+    int32), per format/hints.py.
     """
     B, NSEQ = ll.shape
     S = NSEQ if smax is None else min(smax, NSEQ)
@@ -262,12 +288,13 @@ def fse_encode_sequences(ll: jnp.ndarray, ml: jnp.ndarray, offv: jnp.ndarray,
         sn = jnp.stack([jnp.where(later_t, nb_of, 0),
                         jnp.where(later_t, nb_ml, 0),
                         jnp.where(later_t, nb_ll, 0)])
-        return (s_ll, s_of, s_ml), (sb, sn)
+        st = jnp.stack([s_ll, s_of, s_ml])
+        return (s_ll, s_of, s_ml), (sb, sn, st)
 
     first = active & (steps == 0)
     z32 = jnp.zeros((B,), jnp.int32)
     xs = (r_llc.T, r_mlc.T, r_ofc.T, first.T, later.T)
-    (s_ll, s_of, s_ml), (sb, sn) = jax.lax.scan(
+    (s_ll, s_of, s_ml), (sb, sn, st_steps) = jax.lax.scan(
         scan_step, (z32, z32, z32), xs)
     # sb: (S, 3, B) -> (B, S, 3)
     state_vals = jnp.transpose(sb, (2, 0, 1))
@@ -298,4 +325,52 @@ def fse_encode_sequences(ll: jnp.ndarray, ml: jnp.ndarray, offv: jnp.ndarray,
     all_nbs = jnp.concatenate([nbs, flush_nbs], axis=1)
     words, total_bits = BITS.pack_bits(all_vals, all_nbs, out_bytes // 4)
     byte_sizes = (total_bits + 7) >> 3  # sentinel included in total_bits
-    return BITS.words_to_bytes(words, out_bytes), byte_sizes
+    stream_bytes = BITS.words_to_bytes(words, out_bytes)
+    if not anchor_interval:
+        return stream_bytes, byte_sizes
+    # --- decode anchors (format/hints.py) ---
+    A = anchor_interval
+    maxa = (S + A - 1) // A
+    anchor_j = np.arange(1, maxa + 1, dtype=np.int32)[None, :] * A  # (1,maxa)
+    anchor_j = jnp.broadcast_to(anchor_j, (B, maxa))
+    valid_a = anchor_j < n_seq[:, None]
+    ja = jnp.minimum(anchor_j, NSEQ - 1)
+    # extras consumed by the decoder for sequences i < j (decode order)
+    dec_idx = jnp.broadcast_to(np.arange(NSEQ, dtype=np.int32)[None, :],
+                               (B, NSEQ))
+    dactive = dec_idx < n_seq[:, None]
+    ex_dec = jnp.where(dactive,
+                       ll_bits_t[jnp.clip(llc, 0, 35)] +
+                       ml_bits_t[jnp.clip(mlc, 0, 52)] + ofc, 0)
+    ex_cum = jnp.pad(jnp.cumsum(ex_dec, axis=1), ((0, 0), (1, 0)))
+    ex_before = C.take1(ex_cum, ja)
+    # state-update bits consumed before seq j: the decoder's update after
+    # seq i reads the encoder's step t = n-1-i state bits, so the prefix
+    # over i < j is a SUFFIX over encode steps t >= n-j
+    snsum = jnp.transpose(jnp.sum(sn, axis=1))          # (B, S)
+    sn_cum = jnp.cumsum(snsum, axis=1)
+    sn_total = sn_cum[:, -1]
+    t_at = jnp.clip(n_seq[:, None] - 1 - anchor_j, 0, S - 1)
+    st_before = sn_total[:, None] - C.take1(sn_cum, t_at)
+    init_reads = zf.LL_DEFAULT_LOG + zf.OF_DEFAULT_LOG + zf.ML_DEFAULT_LOG
+    bits_a = (total_bits - 1)[:, None] - init_reads - ex_before - st_before
+    bits_a = jnp.where(valid_a, bits_a, -1)
+    # decoder states before seq j = encoder states after step t = n-1-j,
+    # rebased from the encoder's [tableSize, 2*tableSize) range to the
+    # decoder's table indices
+    st_bst = jnp.transpose(st_steps, (2, 0, 1))          # (B, S, 3)
+    bias = np.array([1 << zf.LL_DEFAULT_LOG, 1 << zf.OF_DEFAULT_LOG,
+                     1 << zf.ML_DEFAULT_LOG], np.int32)
+    states_a = jnp.stack(
+        [C.take1(st_bst[:, :, k], t_at) - bias[k] for k in range(3)], axis=2)
+    # rep1 before seq j = last explicitly-coded offset among sequences < j
+    push = dactive & (offv > 3)
+    marked = jnp.where(push, dec_idx, -1)
+    lastpush = jax.lax.cummax(marked, axis=1)
+    lastpush_excl = jnp.pad(lastpush[:, :-1], ((0, 0), (1, 0)),
+                            constant_values=-1)
+    lp = C.take1(lastpush_excl, ja)
+    rep1_a = jnp.where(lp >= 0,
+                      C.take1(offv, jnp.maximum(lp, 0)) - 3, 1)
+    return (stream_bytes, byte_sizes,
+            (bits_a, states_a, jnp.where(valid_a, rep1_a, 1)))

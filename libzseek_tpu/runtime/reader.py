@@ -64,6 +64,8 @@ class Reader:
         self._lock = threading.RLock()
         self._pos = 0
         self._closed = False
+        self._hints = self._load_hints() \
+            if getattr(self._codec, "supports_hints", False) else None
 
     # --- public API ---
 
@@ -137,7 +139,11 @@ class Reader:
             return
         datas = [self._read_frame_bytes(i) for i in need]
         d_sizes = [self._table.frame_d_size(i) for i in need]
-        frames = self._codec.decompress_frames(datas, d_sizes)
+        if self._hints is not None:
+            frames = self._codec.decompress_frames(
+                datas, d_sizes, [self._frame_hints(i) for i in need])
+        else:
+            frames = self._codec.decompress_frames(datas, d_sizes)
         if self._cache is not None:
             with self._lock:
                 for i, fr in zip(need, frames):
@@ -164,6 +170,31 @@ class Reader:
 
     # --- internals ---
 
+    def _load_hints(self):
+        """Locate the decode-anchor sidecar (format/hints.py): a skippable
+        frame immediately before the seek table, self-sized by its trailing
+        u32.  Absent or foreign -> None (the decoder's generic paths)."""
+        from libzseek_tpu.format import hints as H
+        entry = 12 if self._table.checksums is not None else 8
+        table_bytes = 8 + entry * self._table.num_frames + 9
+        end = self._fsize - table_bytes
+        if end < 16:
+            return None
+        tail = self._src.pread(end - 4, 4)
+        if len(tail) != 4:
+            return None
+        total = int.from_bytes(tail, "little")
+        if total < 16 or total > end:
+            return None
+        blob = self._src.pread(end - total, total)
+        parsed = H.parse(blob, 0)
+        if parsed is None or len(parsed) != self._table.num_frames:
+            return None
+        return parsed
+
+    def _frame_hints(self, idx: int):
+        return self._hints[idx] if self._hints is not None else None
+
     def _read_frame_bytes(self, idx: int) -> bytes:
         off = self._table.frame_c_offset(idx)
         size = self._table.frame_c_size(idx)
@@ -179,7 +210,12 @@ class Reader:
             if hit is not None:
                 return hit
         data = self._read_frame_bytes(idx)
-        frame = self._codec.decompress_frame(data, self._table.frame_d_size(idx))
+        if self._hints is not None:
+            frame = self._codec.decompress_frame(
+                data, self._table.frame_d_size(idx), self._frame_hints(idx))
+        else:
+            frame = self._codec.decompress_frame(
+                data, self._table.frame_d_size(idx))
         if self._cache is not None:
             with self._lock:
                 # double-checked: a concurrent reader may have inserted it

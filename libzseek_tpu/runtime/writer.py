@@ -57,6 +57,11 @@ class Writer:
         self._queue: list[bytes] = []   # completed raw frames pending device
         self._closed = False
         self._stats = WriterStats()
+        # decode-anchor hints (format/hints.py), collected per frame when
+        # the codec produces them and published as a skippable sidecar
+        # frame just before the seek table at close
+        self._hints: list | None = \
+            [] if getattr(self._codec, "supports_hints", False) else None
 
     # --- public API (zseek_write parity) ---
 
@@ -88,6 +93,10 @@ class Writer:
             self._enqueue_frame(bytes(self._buffer))
             self._buffer.clear()
         self._drain_queue()
+        if self._hints and any(any(b is not None for b in f)
+                               for f in self._hints):
+            from libzseek_tpu.format import hints as H
+            self._sink.write(H.serialize(self._hints))
         self._sink.write(self._framelog.serialize())
         self._closed = True
         self._refresh_stats()
@@ -108,7 +117,12 @@ class Writer:
         if not self._queue:
             return
         frames, self._queue = self._queue, []
-        compressed = self._codec.compress_frames(frames)
+        if self._hints is not None:
+            compressed, fhints = self._codec.compress_frames(
+                frames, return_hints=True)
+            self._hints.extend(fhints)
+        else:
+            compressed = self._codec.compress_frames(frames)
         for raw, comp in zip(frames, compressed):
             self._sink.write(comp)
             self._framelog.log_frame(len(comp), len(raw))

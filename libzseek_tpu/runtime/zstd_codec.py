@@ -26,6 +26,7 @@ import numpy as np
 
 from libzseek_tpu import native
 from libzseek_tpu.errors import FormatError
+from libzseek_tpu.format import hints
 from libzseek_tpu.format import zstd_frame as zf
 from libzseek_tpu.ops import huffman
 from libzseek_tpu.ops.zstd_encode import (fse_encode_sequences,
@@ -82,25 +83,36 @@ def _nbseq_header(n: int) -> bytes:
     return bytes([255]) + (n - 0x7F00).to_bytes(2, "little")
 
 
+LIT_ANCHOR_INTERVAL = 512
+SEQ_ANCHOR_INTERVAL = 128
+
+
 class ZstdCodec:
     """zstd seekable-frame codec (TPU encode pipeline; decode in
-    ops/zstd_decode.py)."""
+    ops/zstd_decode.py).  When collect_hints is on (default), compression
+    also produces per-block decode anchors (format/hints.py) that the
+    Writer publishes in a skippable sidecar frame, enabling the anchored
+    parallel decode paths."""
 
     name = "zstd"
+    supports_hints = True
 
-    def __init__(self, level: int = 3, max_batch_blocks: int = 64):
+    def __init__(self, level: int = 3, max_batch_blocks: int = 64,
+                 collect_hints: bool = True):
         self.level = level
         # level knob maps to candidate granularity / extension length,
         # the analog of zstd's level-indexed search parameters
         self.seg_size = 8 if level <= 1 else 4
         self.max_len = 32 if level <= 1 else 48
         self.max_batch_blocks = max_batch_blocks
+        self.collect_hints = collect_hints
 
     # --- compress ---
 
-    def compress_frames(self, frames: list[bytes | memoryview]) -> list[bytes]:
+    def compress_frames(self, frames: list[bytes | memoryview],
+                        return_hints: bool = False):
         if not frames:
-            return []
+            return ([], []) if return_hints else []
         spans = []
         for fi, fr in enumerate(frames):
             n = len(fr)
@@ -109,42 +121,51 @@ class ZstdCodec:
             for s in range(0, n, BLOCK):
                 spans.append((fi, s, min(BLOCK, n - s)))
         block_payloads: dict[int, bytes] = {}
+        block_hints: dict[int, object] = {}
         for lo in range(0, len(spans), self.max_batch_blocks):
             chunk = spans[lo: lo + self.max_batch_blocks]
-            payloads = self._compress_blocks(
+            payloads, bhints = self._compress_blocks(
                 [np.frombuffer(frames[fi], np.uint8, sz, s)
                  for fi, s, sz in chunk])
-            for i, p in enumerate(payloads):
+            for i, (p, bh) in enumerate(zip(payloads, bhints)):
                 block_payloads[lo + i] = p
+                block_hints[lo + i] = bh
         # assemble frames
         out = []
+        out_hints = []
         cursor = 0
         for fi, fr in enumerate(frames):
             n = len(fr)
             head = zf.build_frame_header(n, single_segment=n > 0)
             body = bytearray(head)
+            fhints = []
             nblocks = math.ceil(n / BLOCK)
             if n == 0:
                 body += zf.build_block_header(zf.BLOCK_RAW, 0, last=True)
+                fhints.append(None)
             for b in range(nblocks):
                 fi2, s, sz = spans[cursor]
                 assert fi2 == fi
                 payload = block_payloads[cursor]
+                bh = block_hints[cursor]
                 cursor += 1
                 last = b == nblocks - 1
                 if payload is None or len(payload) >= sz:
                     body += zf.build_block_header(zf.BLOCK_RAW, sz, last)
                     body += bytes(fr[s: s + sz])
+                    fhints.append(None)
                 else:
                     body += zf.build_block_header(
                         zf.BLOCK_COMPRESSED, len(payload), last)
                     body += payload
+                    fhints.append(bh)
             out.append(bytes(body))
-        return out
+            out_hints.append(fhints)
+        return (out, out_hints) if return_hints else out
 
-    def _compress_blocks(self, blocks: list[np.ndarray]) -> list[bytes | None]:
-        """Compress raw blocks -> compressed-block payloads (None = store
-        raw)."""
+    def _compress_blocks(self, blocks: list[np.ndarray]):
+        """Compress raw blocks -> (compressed-block payloads (None = store
+        raw), per-block decode hints (None when disabled/not applicable))."""
         B = len(blocks)
         N = BLOCK
         X = np.zeros((B, N), np.uint8)
@@ -201,16 +222,25 @@ class ZstdCodec:
         lmax = int(lit_count.max()) if B else 0
         lcap = min(N, max(128, 1 << max(0, (lmax - 1)).bit_length()))
         lit_cap = _ceil_to(lcap + 64, 128)
-        streams, sizes4 = huffman_encode_literals(
+        hout = huffman_encode_literals(
             jax.lax.slice_in_dim(seqs["literals"], 0, lcap, axis=1),
             seqs["lit_count"],
-            jnp.asarray(code_vals), jnp.asarray(code_bits), lit_cap)
+            jnp.asarray(code_vals), jnp.asarray(code_bits), lit_cap,
+            anchor_interval=LIT_ANCHOR_INTERVAL if self.collect_hints else 0)
+        streams, sizes4 = hout[0], hout[1]
+        lit_anchors = np.asarray(hout[2]) if self.collect_hints else None
         nmax = int(n_seq.max()) if B else 0
         smax = max(16, 1 << max(0, (nmax - 1)).bit_length())
         seq_cap = _ceil_to(min(N // 2, 11 * smax) + 64, 128)
-        seq_stream, seq_sizes = fse_encode_sequences(
+        fout = fse_encode_sequences(
             seqs["ll"], seqs["ml"], seqs["offv"], seqs["n_seq"], seq_cap,
-            smax=smax)
+            smax=smax,
+            anchor_interval=SEQ_ANCHOR_INTERVAL if self.collect_hints else 0)
+        seq_stream, seq_sizes = fout[0], fout[1]
+        if self.collect_hints:
+            sa_bits = np.asarray(fout[2][0])
+            sa_states = np.asarray(fout[2][1])
+            sa_rep1 = np.asarray(fout[2][2])
         streams = np.asarray(streams)
         sizes4 = np.asarray(sizes4)
         seq_stream = np.asarray(seq_stream)
@@ -235,11 +265,13 @@ class ZstdCodec:
         if need_rows:
             picked = np.asarray(seqs["literals"][jnp.asarray(need_rows)])
             lit_rows = {r: picked[k] for k, r in enumerate(need_rows)}
-        # host: assemble per block
+        # host: assemble per block (+ decode hints, format/hints.py)
         out: list[bytes | None] = []
+        out_h: list[object | None] = []
         for i in range(B):
             lc = int(lit_count[i])
             lits = (lit_rows[i][:lc].tobytes() if i in lit_rows else b"")
+            lit_h = None
             if modes[i] == "none":
                 lit_sec = _lit_section_raw(b"")
             elif modes[i] == "rle":
@@ -250,23 +282,45 @@ class ZstdCodec:
                 payload = trees[i] + jump + \
                     streams[i, : int(sizes4[i].sum())].tobytes()
                 lit_sec = _lit_section_huff(lc, len(payload), payload)
+                if lit_anchors is not None:
+                    sA = LIT_ANCHOR_INTERVAL
+                    s123 = (lc + 3) >> 2
+                    cnts = [s123, s123, s123, lc - 3 * s123]
+                    per = []
+                    for s4 in range(4):
+                        na = max(0, -(-cnts[s4] // sA) - 1)
+                        per.append([int(v) for v in
+                                    lit_anchors[i, s4, :na]])
+                    lit_h = hints.StreamAnchors(sA, per)
             else:
                 lit_sec = _lit_section_raw(lits)
             ns = int(n_seq[i])
             seq_sec = _nbseq_header(ns)
+            seq_h = None
             if ns > 0:
                 seq_sec += bytes([0x00])  # all predefined modes
                 seq_sec += seq_stream[i, : int(seq_sizes[i])].tobytes()
+                if self.collect_hints:
+                    sA = SEQ_ANCHOR_INTERVAL
+                    na = max(0, -(-ns // sA) - 1)
+                    seq_h = hints.SeqAnchors(
+                        sA, [int(v) for v in sa_bits[i, :na]],
+                        [tuple(int(x) for x in sa_states[i, k])
+                         for k in range(na)],
+                        [int(v) for v in sa_rep1[i, :na]])
             payload = lit_sec + seq_sec
             out.append(payload if len(payload) < int(lens[i]) else None)
-        return out
+            out_h.append(hints.BlockHints(lit_h, seq_h)
+                         if (lit_h or seq_h) else None)
+        return out, out_h
 
     # --- decompress ---
 
-    def decompress_frame(self, data: bytes, d_size: int) -> bytes:
-        return self.decompress_frames([data], [d_size])[0]
+    def decompress_frame(self, data: bytes, d_size: int,
+                         frame_hints=None) -> bytes:
+        return self.decompress_frames([data], [d_size], [frame_hints])[0]
 
-    def decompress_frames(self, datas: list[bytes],
-                          d_sizes: list[int]) -> list[bytes]:
+    def decompress_frames(self, datas: list[bytes], d_sizes: list[int],
+                          frame_hints: list | None = None) -> list[bytes]:
         from libzseek_tpu.ops.zstd_decode import decode_frames
-        return decode_frames(datas, d_sizes)
+        return decode_frames(datas, d_sizes, hints=frame_hints)
