@@ -139,11 +139,23 @@ def resolve_copy_chains(src: jnp.ndarray, rounds: int) -> jnp.ndarray:
     After ceil(log2(N)) rounds every index lands on a literal.  This is the
     parallel substitute for the reference's inherently-serial match copy
     (src/decompress.c match execution inside libzstd/liblz4).
-    """
-    def body(_, s):
-        return take1(s, s)
 
-    return jax.lax.fori_loop(0, rounds, body, src)
+    Exits as soon as a round changes nothing — real chains are shallow
+    (matches rarely stack more than a handful deep), so typical depth is
+    3-6 rounds, not log2(N).
+    """
+    def cond(state):
+        i, s, done = state
+        return (i < rounds) & ~done
+
+    def body(state):
+        i, s, _ = state
+        ns = take1(s, s)
+        return i + 1, ns, jnp.all(ns == s)
+
+    _, out, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), src, jnp.bool_(False)))
+    return out
 
 
 def pack_u8(x_i32: jnp.ndarray) -> jnp.ndarray:

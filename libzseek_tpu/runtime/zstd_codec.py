@@ -122,14 +122,26 @@ class ZstdCodec:
                 spans.append((fi, s, min(BLOCK, n - s)))
         block_payloads: dict[int, bytes] = {}
         block_hints: dict[int, object] = {}
+        # software pipeline: the parse stage of batch k+1 is dispatched
+        # before batch k's results are fetched, so the device never idles
+        # while the host builds tables / assembles containers
+        pending: list[tuple[int, tuple]] = []
         for lo in range(0, len(spans), self.max_batch_blocks):
             chunk = spans[lo: lo + self.max_batch_blocks]
-            payloads, bhints = self._compress_blocks(
+            pending.append((lo, self._dispatch_parse(
                 [np.frombuffer(frames[fi], np.uint8, sz, s)
-                 for fi, s, sz in chunk])
+                 for fi, s, sz in chunk])))
+            if len(pending) >= 2:
+                lo0, st = pending.pop(0)
+                payloads, bhints = self._finish_blocks(st)
+                for i, (p, bh) in enumerate(zip(payloads, bhints)):
+                    block_payloads[lo0 + i] = p
+                    block_hints[lo0 + i] = bh
+        for lo0, st in pending:
+            payloads, bhints = self._finish_blocks(st)
             for i, (p, bh) in enumerate(zip(payloads, bhints)):
-                block_payloads[lo + i] = p
-                block_hints[lo + i] = bh
+                block_payloads[lo0 + i] = p
+                block_hints[lo0 + i] = bh
         # assemble frames
         out = []
         out_hints = []
@@ -166,6 +178,10 @@ class ZstdCodec:
     def _compress_blocks(self, blocks: list[np.ndarray]):
         """Compress raw blocks -> (compressed-block payloads (None = store
         raw), per-block decode hints (None when disabled/not applicable))."""
+        return self._finish_blocks(self._dispatch_parse(blocks))
+
+    def _dispatch_parse(self, blocks: list[np.ndarray]):
+        """Stage 1 (async): upload the batch and dispatch the LZ77 parse."""
         B = len(blocks)
         N = BLOCK
         X = np.zeros((B, N), np.uint8)
@@ -175,6 +191,14 @@ class ZstdCodec:
             lens[i] = len(blk)
         seqs = zstd_sequences(jnp.asarray(X), jnp.asarray(lens),
                               seg_size=self.seg_size, max_len=self.max_len)
+        return seqs, lens
+
+    def _finish_blocks(self, staged):
+        """Stage 2: fetch parse results, build tables, run the entropy
+        kernels, assemble block payloads + hints."""
+        seqs, lens = staged
+        B = lens.shape[0]
+        N = BLOCK
         hist = np.asarray(seqs["hist"])
         lit_count = np.asarray(seqs["lit_count"])
         n_seq = np.asarray(seqs["n_seq"])
