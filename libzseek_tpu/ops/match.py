@@ -124,13 +124,14 @@ def _log2i(v: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("seg_size", "max_len", "max_offset",
                                    "min_tail", "max_back", "end_margin",
-                                   "dual", "ctx_len"))
+                                   "dual", "ctx_len", "window"))
 def find_segment_matches(x: jnp.ndarray, lengths: jnp.ndarray, *,
                          seg_size: int = 8, max_len: int = 64,
                          max_offset: int = 65535, min_tail: int = 12,
                          max_back: int = 0, end_margin: int = 5,
                          dual: bool = False, ctx_len: int = 0,
-                         min_ref: jnp.ndarray | None = None):
+                         min_ref: jnp.ndarray | None = None,
+                         window: int = 4):
     """Per-segment match candidates: the earliest valid match start in each
     seg_size-byte segment, with its offset and extended length.
 
@@ -180,7 +181,7 @@ def find_segment_matches(x: jnp.ndarray, lengths: jnp.ndarray, *,
         q = C.take1(cand, p)
         return p, q, has
 
-    p, q, has = seg_candidate(4)
+    p, q, has = seg_candidate(window)
     if dual:
         # Pick the winner BEFORE the expensive extension (the gathers in
         # extend_match_lengths dominate the whole parse, so only one

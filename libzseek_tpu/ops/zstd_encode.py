@@ -60,10 +60,11 @@ def ml_code_dev(ml):
 
 
 @partial(jax.jit, static_argnames=("seg_size", "max_len", "max_back",
-                                   "max_offset", "dual"))
+                                   "max_offset", "dual", "window"))
 def zstd_sequences(x: jnp.ndarray, lengths: jnp.ndarray, *,
                    seg_size: int = 4, max_len: int = 16, max_back: int = 0,
-                   max_offset: int = (1 << 17) - 1, dual: bool = True):
+                   max_offset: int = (1 << 17) - 1, dual: bool = False,
+                   window: int = 8):
     """LZ77 parse for zstd blocks.
 
     Returns dict with (B, NSEQ) arrays ll, ml, offv (offset_value =
@@ -74,7 +75,8 @@ def zstd_sequences(x: jnp.ndarray, lengths: jnp.ndarray, *,
     nseq = N // seg_size + 1
     p, off, e, has = M.find_segment_matches(
         x, lengths, seg_size=seg_size, max_len=max_len, min_tail=4,
-        max_back=max_back, end_margin=0, max_offset=max_offset, dual=dual)
+        max_back=max_back, end_margin=0, max_offset=max_offset, dual=dual,
+        window=window)
     # --- profitability gate ---
     # A sequence costs ~18 state/extra bits + log2(offset) offset bits; a
     # skipped match costs ~H bits per literal byte (block byte entropy).
