@@ -75,8 +75,8 @@ def _parse_kernel(win_ref, len_ref, ll_ref, ml_ref, off_ref, n_ref,
             base = pl.multiple_of((hcol >> 7) * 128, 128)
             lane = hcol & 127
             row = table_ref[hrow, pl.ds(base, 128)]
-            cand = jax.lax.dynamic_index_in_dim(row, lane, keepdims=False)
             sel = jax.lax.broadcasted_iota(jnp.int32, (128,), 0) == lane
+            cand = jnp.sum(jnp.where(sel, row, 0))  # one-lane select
             table_ref[hrow, pl.ds(base, 128)] = jnp.where(sel, ip, row)
             good = (cand >= 0) & (ip - cand <= max_offset) & \
                 (win_ref[r, jnp.maximum(cand, 0)] == w) & (cnt < cap)

@@ -199,9 +199,13 @@ class ZstdCodec:
         seqs, lens = staged
         B = lens.shape[0]
         N = BLOCK
-        hist = np.asarray(seqs["hist"])
-        lit_count = np.asarray(seqs["lit_count"])
-        n_seq = np.asarray(seqs["n_seq"])
+        # one packed fetch: every device->host transfer pays a round trip
+        # (expensive through a tunneled TPU), so small arrays travel as one
+        packed = np.asarray(jnp.concatenate([
+            seqs["hist"].reshape(-1), seqs["lit_count"], seqs["n_seq"]]))
+        hist = packed[: B * 256].reshape(B, 256)
+        lit_count = packed[B * 256: B * 256 + B]
+        n_seq = packed[B * 256 + B:]
         # host: huffman tables per block (native batch build when available)
         code_vals = np.zeros((B, 256), np.int32)
         code_bits = np.zeros((B, 256), np.int32)
@@ -252,7 +256,6 @@ class ZstdCodec:
             jnp.asarray(code_vals), jnp.asarray(code_bits), lit_cap,
             anchor_interval=LIT_ANCHOR_INTERVAL if self.collect_hints else 0)
         streams, sizes4 = hout[0], hout[1]
-        lit_anchors = np.asarray(hout[2]) if self.collect_hints else None
         nmax = int(n_seq.max()) if B else 0
         smax = max(16, 1 << max(0, (nmax - 1)).bit_length())
         seq_cap = _ceil_to(min(N // 2, 11 * smax) + 64, 128)
@@ -261,14 +264,31 @@ class ZstdCodec:
             smax=smax,
             anchor_interval=SEQ_ANCHOR_INTERVAL if self.collect_hints else 0)
         seq_stream, seq_sizes = fout[0], fout[1]
+        # bundle the metadata fetch, and the two byte planes into one
+        meta_parts = [sizes4.reshape(-1), seq_sizes]
         if self.collect_hints:
-            sa_bits = np.asarray(fout[2][0])
-            sa_states = np.asarray(fout[2][1])
-            sa_rep1 = np.asarray(fout[2][2])
-        streams = np.asarray(streams)
-        sizes4 = np.asarray(sizes4)
-        seq_stream = np.asarray(seq_stream)
-        seq_sizes = np.asarray(seq_sizes)
+            meta_parts += [hout[2].reshape(-1), fout[2][0].reshape(-1),
+                           fout[2][1].reshape(-1), fout[2][2].reshape(-1)]
+        meta = np.asarray(jnp.concatenate(meta_parts))
+        both = np.asarray(jnp.concatenate([streams, seq_stream], axis=1))
+        streams = both[:, : streams.shape[1]]
+        seq_stream = both[:, streams.shape[1]:]
+        sizes4 = meta[: B * 4].reshape(B, 4)
+        seq_sizes = meta[B * 4: B * 5]
+        if self.collect_hints:
+            pos = B * 5
+            la_n = int(np.prod(hout[2].shape))
+            lit_anchors = meta[pos: pos + la_n].reshape(hout[2].shape)
+            pos += la_n
+            sb_n = int(np.prod(fout[2][0].shape))
+            sa_bits = meta[pos: pos + sb_n].reshape(fout[2][0].shape)
+            pos += sb_n
+            ss_n = int(np.prod(fout[2][1].shape))
+            sa_states = meta[pos: pos + ss_n].reshape(fout[2][1].shape)
+            pos += ss_n
+            sa_rep1 = meta[pos:].reshape(fout[2][2].shape)
+        else:
+            lit_anchors = None
         # Decide huf->raw fallbacks exactly from the fetched sizes, then
         # gather literal BYTES for only the rows that need them on host
         # (raw payload / RLE byte) — not the whole (B, N) plane.
