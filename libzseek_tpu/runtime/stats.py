@@ -19,6 +19,7 @@ class WriterStats:
     compressed_size: int = 0       # compressed bytes emitted so far
     buffered_size: int = 0         # bytes pending in the chunk coalescer
     decompressed_size: int = 0     # total input bytes accepted
+    sidecar_size: int = 0          # decode-hints skippable frame bytes
 
 
 @dataclasses.dataclass

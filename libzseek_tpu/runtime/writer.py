@@ -96,7 +96,9 @@ class Writer:
         if self._hints and any(any(b is not None for b in f)
                                for f in self._hints):
             from libzseek_tpu.format import hints as H
-            self._sink.write(H.serialize(self._hints))
+            blob = H.serialize(self._hints)
+            self._sink.write(blob)
+            self._stats.sidecar_size = len(blob)
         self._sink.write(self._framelog.serialize())
         self._closed = True
         self._refresh_stats()
