@@ -153,3 +153,123 @@ def hash_parse_blocks(win32: jnp.ndarray, lengths: jnp.ndarray,
         interpret=interpret,
     )(win32, lengths.reshape(B, 1))
     return ll, ml, off, nn[:, 0], nn[:, 1]
+
+
+# ---------------------------------------------------------------------------
+# v2: SMEM-resident parser (production path)
+#
+# Mosaic rejects dynamic per-element VMEM access, but SMEM supports scalar
+# load/store — measured: 1 MiB capacity, ~12 ns per probe-loop iteration.
+# The whole zstd-fast loop (input bytes, hash table, emission buffers)
+# lives in SMEM; pallas streams the input block HBM->SMEM per grid step
+# (double-buffered, hence the raw-byte input: 128 KiB x2 fits, the int32
+# window plane would not) and the emission buffers stream back out.
+# ---------------------------------------------------------------------------
+
+def _parse_kernel_smem(w_ref, len_ref, ll_ref, ml_ref, off_ref, n_ref,
+                       table_ref, *, cap: int, max_offset: int,
+                       hash_log: int):
+    # w_ref: packed little-endian int32 words of the block bytes (Mosaic
+    # has no scalar i8 ops, so bytes are extracted by shifting)
+    NW = w_ref.shape[2]
+    tab_size = 1 << hash_log
+    shift = np.uint32(32 - hash_log)
+
+    def zb(i, _):
+        table_ref[i] = -1
+        return 0
+
+    jax.lax.fori_loop(0, tab_size, zb, 0)
+    blen = len_ref[0, 0, 0]
+    limit = blen - 12
+
+    def word(q):
+        return w_ref[0, 0, jnp.clip(q, 0, NW - 1)]
+
+    def byte(i):
+        return (word(i >> 2) >> ((i & 3) * 8)) & 0xFF
+
+    def w32(i):
+        q = i >> 2
+        sh = ((i & 3) * 8).astype(jnp.uint32)
+        lo = word(q).astype(jnp.uint32)
+        hi = word(q + 1).astype(jnp.uint32)
+        v = (lo >> sh) | jnp.where(
+            sh == 0, jnp.uint32(0), hi << (jnp.uint32(32) - sh))
+        return v.astype(jnp.int32)
+
+    def extend(ip, cand):
+        def cond(l):
+            return (ip + l < blen) & (byte(ip + l) == byte(cand + l))
+
+        return jax.lax.while_loop(cond, lambda l: l + 1, jnp.int32(4))
+
+    def body(state):
+        ip, anchor, cnt, miss = state
+        w = w32(ip)
+        h = ((w.astype(jnp.uint32) * PRIME) >> shift).astype(jnp.int32)
+        cand = table_ref[h]
+        table_ref[h] = ip
+        good = (cand >= 0) & (ip - cand <= max_offset) & (cnt < cap)
+        good = good & (w32(jnp.maximum(cand, 0)) == w)
+
+        def do_match(_):
+            l = extend(ip, cand)
+            ll_ref[0, 0, cnt] = ip - anchor
+            ml_ref[0, 0, cnt] = l
+            off_ref[0, 0, cnt] = ip - cand + 3
+            return ip + l, ip + l, cnt + 1, jnp.int32(0)
+
+        def do_miss(_):
+            return ip + 1 + (miss >> 6), anchor, cnt, miss + 1
+
+        return jax.lax.cond(good, do_match, do_miss, None)
+
+    ip0 = jnp.int32(0)
+    ip, anchor, cnt, miss = jax.lax.while_loop(
+        lambda s: s[0] < limit, body, (ip0, ip0, jnp.int32(0), jnp.int32(0)))
+    n_ref[0, 0, 0] = cnt
+    n_ref[0, 0, 1] = anchor
+
+
+@partial(jax.jit, static_argnames=("cap", "max_offset", "hash_log",
+                                   "interpret"))
+def hash_parse_blocks_smem(x: jnp.ndarray, lengths: jnp.ndarray,
+                           cap: int | None = None,
+                           max_offset: int = (1 << 17) - 1,
+                           hash_log: int = 16,
+                           interpret: bool = False):
+    """SMEM-resident hash-probe parse.  x: (B, N) uint8 raw block bytes
+    (N a multiple of 4); lengths (B,).  Returns (ll, ml, offv, n_seq,
+    cover_end) with the same meaning as hash_parse_blocks."""
+    B, N = x.shape
+    words = jax.lax.bitcast_convert_type(
+        x.reshape(B, N // 4, 4), jnp.int32)
+    if cap is None:
+        cap = max(128, N // 8)
+    kernel = partial(_parse_kernel_smem, cap=cap, max_offset=max_offset,
+                     hash_log=hash_log)
+
+    def smem(shape):
+        return pl.BlockSpec(memory_space=pltpu.SMEM,
+                            block_shape=(1,) + shape[1:],
+                            index_map=lambda b: (b,) + (0,) *
+                            (len(shape) - 1))
+
+    ll, ml, off, nn = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[smem((B, 1, N // 4)), smem((B, 1, 1))],
+        out_specs=[smem((B, 1, cap)), smem((B, 1, cap)), smem((B, 1, cap)),
+                   smem((B, 1, 2))],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, cap), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, cap), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, cap), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 2), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1 << hash_log,), jnp.int32)],
+        interpret=interpret,
+    )(words.reshape(B, 1, N // 4),
+      lengths.reshape(B, 1, 1).astype(jnp.int32))
+    return (ll[:, 0], ml[:, 0], off[:, 0], nn[:, 0, 0], nn[:, 0, 1])

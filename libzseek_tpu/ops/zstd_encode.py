@@ -376,3 +376,68 @@ def fse_encode_sequences(ll: jnp.ndarray, ml: jnp.ndarray, offv: jnp.ndarray,
                       C.take1(offv, jnp.maximum(lp, 0)) - 3, 1)
     return (stream_bytes, byte_sizes,
             (bits_a, states_a, jnp.where(valid_a, rep1_a, 1)))
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _fast_post(x, lengths, ll, ml, offv, n_seq, cover, cap: int):
+    """XLA tail of the hash parse: profitability gate + recompaction, then
+    literal plane/histogram derivation.
+
+    The hash parser (like zstd-fast) emits every probe hit; on entropy-
+    light data short far matches cost more bits than Huffman literals.
+    The same entropy gate used by the sort parser drops them here, with
+    the surrounding literal runs re-joined by recompacting the survivors."""
+    B, N = x.shape
+    seq_cum = jnp.cumsum(ll + ml, axis=1)
+    seq_end = seq_cum
+    seq_start = seq_cum - ml
+    idxs = jnp.broadcast_to(np.arange(cap, dtype=np.int32)[None, :], (B, cap))
+    valid = idxs < n_seq[:, None]
+    pos = jnp.broadcast_to(np.arange(N, dtype=np.int32)[None, :], (B, N))
+    in_range = pos < lengths[:, None]
+    # entropy gate (cost model as in zstd_sequences)
+    hist_all = C.hist256(x, in_range)
+    pr = hist_all.astype(jnp.float32) / jnp.maximum(
+        lengths[:, None].astype(jnp.float32), 1.0)
+    H = -jnp.sum(jnp.where(pr > 0, pr * jnp.log2(jnp.maximum(pr, 1e-9)),
+                           0.0), axis=1)
+    H = jnp.clip(H, 1.0, 8.0)[:, None]
+    cost = 20.0 + _exp_of(jnp.maximum(offv, 1)).astype(jnp.float32)
+    keep = valid & (ml.astype(jnp.float32) * H > cost)
+    # recompact survivors; literal runs between them re-join automatically
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    n2 = jnp.sum(keep.astype(jnp.int32), axis=1)
+
+    def compact(vals):
+        dst = jnp.zeros((B, cap), jnp.int32)
+        return C.scatter1_set(dst, rank, vals.astype(jnp.int32), keep)
+
+    start_k = compact(seq_start)
+    end_k = compact(seq_end)
+    off_k = compact(offv)
+    valid2 = idxs < n2[:, None]
+    prev_end = jnp.pad(end_k[:, :-1], ((0, 0), (1, 0)))
+    ll2 = jnp.where(valid2, start_k - prev_end, 0)
+    ml2 = jnp.where(valid2, end_k - start_k, 0)
+    off2 = jnp.where(valid2, off_k, 0)
+    cover2 = jnp.max(jnp.where(valid2, end_k, 0), axis=1)
+    in_match = C.fill_regions(N, start_k, end_k, valid2)
+    is_lit = (~in_match) & in_range
+    lit_rank = C.exclusive_cumsum(is_lit.astype(jnp.int32), axis=1)
+    lit_count = jnp.sum(is_lit.astype(jnp.int32), axis=1)
+    literals = jnp.zeros((B, N), jnp.uint8)
+    literals = C.scatter1_set(literals, lit_rank, x, is_lit)
+    hist = C.hist256(x, is_lit)
+    return dict(ll=ll2, ml=ml2, offv=off2, n_seq=n2,
+                last_literals=lengths - cover2, literals=literals,
+                lit_count=lit_count, hist=hist)
+
+
+def zstd_sequences_fast(x: jnp.ndarray, lengths: jnp.ndarray):
+    """LZ77 parse via the SMEM hash-probe kernel (ops/pallas_match.py) —
+    zstd-fast's own algorithm on the TPU core, replacing the sort pipeline.
+    Same output contract as zstd_sequences."""
+    from libzseek_tpu.ops.pallas_match import hash_parse_blocks_smem
+    B, N = x.shape
+    ll, ml, offv, n_seq, cover = hash_parse_blocks_smem(x, lengths)
+    return _fast_post(x, lengths, ll, ml, offv, n_seq, cover, ll.shape[1])

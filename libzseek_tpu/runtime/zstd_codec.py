@@ -98,7 +98,7 @@ class ZstdCodec:
     supports_hints = True
 
     def __init__(self, level: int = 3, max_batch_blocks: int = 64,
-                 collect_hints: bool = True):
+                 collect_hints: bool = True, parser: str = "auto"):
         self.level = level
         # level knob maps to candidate granularity / extension length,
         # the analog of zstd's level-indexed search parameters
@@ -106,6 +106,20 @@ class ZstdCodec:
         self.max_len = 32 if level <= 1 else 48
         self.max_batch_blocks = max_batch_blocks
         self.collect_hints = collect_hints
+        # LZ77 parser: the SMEM hash-probe Pallas kernel (zstd-fast's own
+        # algorithm on the TPU core) on real TPUs, the sort-based exact
+        # pipeline elsewhere (CPU tests, interpret mode)
+        self.parser = parser
+
+    def _use_hash_parser(self) -> bool:
+        if self.parser == "hash":
+            return True
+        if self.parser == "sort":
+            return False
+        try:
+            return jax.devices()[0].platform != "cpu"
+        except Exception:
+            return False
 
     # --- compress ---
 
@@ -189,8 +203,13 @@ class ZstdCodec:
         for i, blk in enumerate(blocks):
             X[i, : len(blk)] = blk
             lens[i] = len(blk)
-        seqs = zstd_sequences(jnp.asarray(X), jnp.asarray(lens),
-                              seg_size=self.seg_size, max_len=self.max_len)
+        if self._use_hash_parser():
+            from libzseek_tpu.ops.zstd_encode import zstd_sequences_fast
+            seqs = zstd_sequences_fast(jnp.asarray(X), jnp.asarray(lens))
+        else:
+            seqs = zstd_sequences(jnp.asarray(X), jnp.asarray(lens),
+                                  seg_size=self.seg_size,
+                                  max_len=self.max_len)
         return seqs, lens
 
     def _finish_blocks(self, staged):
