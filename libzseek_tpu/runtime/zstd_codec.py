@@ -195,11 +195,15 @@ class ZstdCodec:
         return self._finish_blocks(self._dispatch_parse(blocks))
 
     def _dispatch_parse(self, blocks: list[np.ndarray]):
-        """Stage 1 (async): upload the batch and dispatch the LZ77 parse."""
+        """Stage 1 (async): upload the batch and dispatch the LZ77 parse.
+        The batch is padded to a power-of-two row count so every archive
+        size reuses a handful of compiled shapes (first compiles cost tens
+        of seconds through a tunneled TPU)."""
         B = len(blocks)
+        Bp = max(8, 1 << max(0, (B - 1).bit_length()))
         N = BLOCK
-        X = np.zeros((B, N), np.uint8)
-        lens = np.zeros((B,), np.int32)
+        X = np.zeros((Bp, N), np.uint8)
+        lens = np.zeros((Bp,), np.int32)
         for i, blk in enumerate(blocks):
             X[i, : len(blk)] = blk
             lens[i] = len(blk)
@@ -210,24 +214,26 @@ class ZstdCodec:
             seqs = zstd_sequences(jnp.asarray(X), jnp.asarray(lens),
                                   seg_size=self.seg_size,
                                   max_len=self.max_len)
-        return seqs, lens
+        return seqs, lens[:B]
 
     def _finish_blocks(self, staged):
         """Stage 2: fetch parse results, build tables, run the entropy
         kernels, assemble block payloads + hints."""
         seqs, lens = staged
-        B = lens.shape[0]
+        B = lens.shape[0]           # real blocks; device arrays are padded
+        Bp = seqs["n_seq"].shape[0]
         N = BLOCK
         # one packed fetch: every device->host transfer pays a round trip
         # (expensive through a tunneled TPU), so small arrays travel as one
         packed = np.asarray(jnp.concatenate([
             seqs["hist"].reshape(-1), seqs["lit_count"], seqs["n_seq"]]))
-        hist = packed[: B * 256].reshape(B, 256)
-        lit_count = packed[B * 256: B * 256 + B]
-        n_seq = packed[B * 256 + B:]
-        # host: huffman tables per block (native batch build when available)
-        code_vals = np.zeros((B, 256), np.int32)
-        code_bits = np.zeros((B, 256), np.int32)
+        hist = packed[: Bp * 256].reshape(Bp, 256)[:B]
+        lit_count = packed[Bp * 256: Bp * 256 + Bp][:B]
+        n_seq = packed[Bp * 256 + Bp:][:B]
+        # host: huffman tables per block (native batch build when available);
+        # code tables sized to the padded batch for the device kernels
+        code_vals = np.zeros((Bp, 256), np.int32)
+        code_bits = np.zeros((Bp, 256), np.int32)
         trees: list[bytes | None] = [None] * B
         modes: list[str] = ["raw"] * B
         if native.have_native():
@@ -290,12 +296,13 @@ class ZstdCodec:
                            fout[2][1].reshape(-1), fout[2][2].reshape(-1)]
         meta = np.asarray(jnp.concatenate(meta_parts))
         both = np.asarray(jnp.concatenate([streams, seq_stream], axis=1))
-        streams = both[:, : streams.shape[1]]
-        seq_stream = both[:, streams.shape[1]:]
-        sizes4 = meta[: B * 4].reshape(B, 4)
-        seq_sizes = meta[B * 4: B * 5]
+        scols = streams.shape[1]
+        streams = both[:, :scols]
+        seq_stream = both[:, scols:]
+        sizes4 = meta[: Bp * 4].reshape(Bp, 4)
+        seq_sizes = meta[Bp * 4: Bp * 5]
         if self.collect_hints:
-            pos = B * 5
+            pos = Bp * 5
             la_n = int(np.prod(hout[2].shape))
             lit_anchors = meta[pos: pos + la_n].reshape(hout[2].shape)
             pos += la_n
