@@ -1,19 +1,22 @@
-"""Pallas scalar hash-probe LZ parser (prototype of the next-generation
-match finder).
+"""Pallas SMEM-resident scalar hash-probe LZ parser — the TPU parse path.
 
-The production parse (ops/match.py) is exact but sort+gather bound: XLA
+The sort-based parse (ops/match.py) is exact but sort+gather bound: XLA
 gathers run ~100M elem/s on TPU, capping the pipeline far below the
 reference's CPU throughput.  This kernel instead runs zstd-fast's actual
 algorithm — single-probe hash table, greedy emit, inline extension — as a
-sequential SCALAR loop per block on the TPU core, with the hash table and
-input resident in VMEM.  One grid step = 8 block rows (TPU tiling needs
-sublane multiples of 8); rows run as an inner loop, grid steps sequence on
-the core, so wall time ~ scalar-ops-per-block x blocks.
+sequential SCALAR loop per block on the TPU core.
 
-Inputs are precomputed 4-byte LE windows (int32), so the kernel never
-assembles bytes.  Outputs are per-block sequence arrays compatible with
-zstd_sequences' consumers (ll, ml, offv = offset+3, n_seq, cover_end);
-literal extraction and entropy coding stay in the existing XLA pipeline.
+Design constraints (measured; see PERF.md and the project memory):
+Mosaic rejects dynamic per-element VMEM access and has no scalar i8 ops,
+but SMEM supports dynamic scalar load/store — exactly 1 MiB of it, at
+~12 ns per probe-loop iteration — and pallas double-buffers streamed
+blocks.  Hence: input as packed int32 byte words (128 KiB x2 streamed;
+bytes extracted by shifting), hash table + emission buffers in SMEM, one
+grid step per block row, grid steps sequencing on the core.
+
+Outputs are per-block sequence arrays (ll, ml, offv = offset+3, n_seq,
+cover_end); literal extraction and entropy coding stay in the XLA
+pipeline (ops/zstd_encode.zstd_sequences_fast).
 
 Reference counterpart: ZSTD_compressBlock_fast (the strategy the reference
 selects at level 3, /root/reference/src/compress.c:87-90).
@@ -29,142 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HASH_LOG = 15
-HASH_SIZE = 1 << HASH_LOG
-_TAB_COLS = 4096          # hash table as (8, 4096) to satisfy VMEM tiling
 PRIME = np.uint32(2654435761)
-ROWS = 8                  # rows per grid step
-
-
-def _parse_kernel(win_ref, len_ref, ll_ref, ml_ref, off_ref, n_ref,
-                  table_ref, *, cap: int, max_offset: int):
-    N = win_ref.shape[1]
-
-    def hash_of(w):
-        return ((w.astype(jnp.uint32) * PRIME) >>
-                np.uint32(32 - HASH_LOG)).astype(jnp.int32)
-
-    def row_body(r, _):
-        table_ref[:] = jnp.full_like(table_ref[:], -1)
-        blen = len_ref[r, 0]
-        limit = blen - 12
-
-        def extend(ip, cand):
-            def cond(l):
-                return (ip + l + 4 <= blen) & \
-                    (win_ref[r, ip + l] == win_ref[r, cand + l])
-
-            l = jax.lax.while_loop(cond, lambda l: l + 4, jnp.int32(4))
-            ok_tail = ip + l + 4 <= blen
-            d = win_ref[r, jnp.minimum(ip + l, N - 1)] ^ \
-                win_ref[r, jnp.minimum(cand + l, N - 1)]
-            b0 = (d & 0xFF) == 0
-            b1 = (d & 0xFFFF) == 0
-            b2 = (d & 0xFFFFFF) == 0
-            partial_ = b0.astype(jnp.int32) + b1.astype(jnp.int32) + \
-                b2.astype(jnp.int32)
-            l = l + jnp.where(ok_tail, partial_, 0)
-            return jnp.minimum(l, blen - ip)
-
-        def body(state):
-            ip, anchor, cnt, miss = state
-            w = win_ref[r, ip]
-            h = hash_of(w)
-            hrow = h >> 12
-            hcol = h & (_TAB_COLS - 1)
-            base = pl.multiple_of((hcol >> 7) * 128, 128)
-            lane = hcol & 127
-            row = table_ref[hrow, pl.ds(base, 128)]
-            sel = jax.lax.broadcasted_iota(jnp.int32, (128,), 0) == lane
-            cand = jnp.sum(jnp.where(sel, row, 0))  # one-lane select
-            table_ref[hrow, pl.ds(base, 128)] = jnp.where(sel, ip, row)
-            good = (cand >= 0) & (ip - cand <= max_offset) & \
-                (win_ref[r, jnp.maximum(cand, 0)] == w) & (cnt < cap)
-
-            def do_match(_):
-                l = extend(ip, cand)
-                ebase = pl.multiple_of((cnt >> 7) * 128, 128)
-                elane = cnt & 127
-                esel = jax.lax.broadcasted_iota(jnp.int32, (128,), 0) == elane
-                row_ll = ll_ref[r, pl.ds(ebase, 128)]
-                ll_ref[r, pl.ds(ebase, 128)] = jnp.where(esel, ip - anchor,
-                                                         row_ll)
-                row_ml = ml_ref[r, pl.ds(ebase, 128)]
-                ml_ref[r, pl.ds(ebase, 128)] = jnp.where(esel, l, row_ml)
-                row_of = off_ref[r, pl.ds(ebase, 128)]
-                off_ref[r, pl.ds(ebase, 128)] = jnp.where(esel,
-                                                          ip - cand + 3,
-                                                          row_of)
-                return ip + l, ip + l, cnt + 1, jnp.int32(0)
-
-            def do_miss(_):
-                # zstd-fast acceleration: step grows with the miss run
-                return ip + 1 + (miss >> 6), anchor, cnt, miss + 1
-
-            return jax.lax.cond(good, do_match, do_miss, None)
-
-        def cond(state):
-            return state[0] < limit
-
-        ip0 = jnp.int32(0)
-        ip, anchor, cnt, miss = jax.lax.while_loop(
-            cond, body, (ip0, ip0, jnp.int32(0), jnp.int32(0)))
-        n_ref[r, 0] = cnt
-        n_ref[r, 1] = anchor  # cover end (tail literals start here)
-        return 0
-
-    jax.lax.fori_loop(0, ROWS, row_body, 0)
-
-
-@partial(jax.jit, static_argnames=("cap", "max_offset", "interpret"))
-def hash_parse_blocks(win32: jnp.ndarray, lengths: jnp.ndarray,
-                      cap: int | None = None,
-                      max_offset: int = (1 << 17) - 1,
-                      interpret: bool = False):
-    """win32: (B, N) int32 LE 4-byte windows (B a multiple of 8);
-    lengths: (B,).  Returns (ll, ml, offv, n_seq, cover_end)."""
-    B, N = win32.shape
-    assert B % ROWS == 0, "row count must be a multiple of 8"
-    if cap is None:
-        cap = max(128, N // 8)
-    kernel = partial(_parse_kernel, cap=cap, max_offset=max_offset)
-    ll, ml, off, nn = pl.pallas_call(
-        kernel,
-        grid=(B // ROWS,),
-        in_specs=[
-            pl.BlockSpec((ROWS, N), lambda b: (b, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM, block_shape=(ROWS, 1),
-                         index_map=lambda b: (b, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((ROWS, cap), lambda b: (b, 0)),
-            pl.BlockSpec((ROWS, cap), lambda b: (b, 0)),
-            pl.BlockSpec((ROWS, cap), lambda b: (b, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM, block_shape=(ROWS, 2),
-                         index_map=lambda b: (b, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, cap), jnp.int32),
-            jax.ShapeDtypeStruct((B, cap), jnp.int32),
-            jax.ShapeDtypeStruct((B, cap), jnp.int32),
-            jax.ShapeDtypeStruct((B, 2), jnp.int32),
-        ],
-        scratch_shapes=[pltpu.VMEM((ROWS, _TAB_COLS), jnp.int32)],
-        interpret=interpret,
-    )(win32, lengths.reshape(B, 1))
-    return ll, ml, off, nn[:, 0], nn[:, 1]
-
-
-# ---------------------------------------------------------------------------
-# v2: SMEM-resident parser (production path)
-#
-# Mosaic rejects dynamic per-element VMEM access, but SMEM supports scalar
-# load/store — measured: 1 MiB capacity, ~12 ns per probe-loop iteration.
-# The whole zstd-fast loop (input bytes, hash table, emission buffers)
-# lives in SMEM; pallas streams the input block HBM->SMEM per grid step
-# (double-buffered, hence the raw-byte input: 128 KiB x2 fits, the int32
-# window plane would not) and the emission buffers stream back out.
-# ---------------------------------------------------------------------------
 
 def _parse_kernel_smem(w_ref, len_ref, ll_ref, ml_ref, off_ref, n_ref,
                        table_ref, *, cap: int, max_offset: int,
