@@ -80,6 +80,17 @@ def lz4_encode_blocks(x: jnp.ndarray, lengths: jnp.ndarray, *,
     seq_start = compact(start)
     seq_end = compact(merged_end)
     seq_off = compact(off)
+    return _pack_lz4(x, lengths, seq_lit_from, seq_start, seq_end, seq_off,
+                     n_heads, c_final, Mcap)
+
+
+def _pack_lz4(x, lengths, seq_lit_from, seq_start, seq_end, seq_off,
+              n_heads, c_final, Mcap: int):
+    """Token/literal/offset emission from per-sequence geometry — shared by
+    the sort-based and hash-probe parsers.  All positions may carry a
+    context-prefix base; only differences reach the output."""
+    B, N = x.shape
+    nseq = seq_start.shape[1]
     # final literals-only sequence at index n_heads
     idxs = jnp.broadcast_to(jnp.arange(nseq, dtype=jnp.int32)[None, :], (B, nseq))
     final = idxs == n_heads[:, None]
@@ -141,3 +152,31 @@ def lz4_encode_blocks(x: jnp.ndarray, lengths: jnp.ndarray, *,
     out = C.scatter1_set(out, dst, x.astype(jnp.int32), is_lit)
 
     return out.astype(jnp.uint8), out_lens
+
+
+@partial(jax.jit, static_argnames=("ctx_len",))
+def lz4_encode_blocks_fast(x: jnp.ndarray, lengths: jnp.ndarray,
+                           min_ref: jnp.ndarray | None = None,
+                           ctx_len: int = 0):
+    """LZ4 block encode via the SMEM hash-probe parser
+    (ops/pallas_match.py) — liblz4's own algorithm on the TPU core —
+    feeding the shared packing stage.  Same contract as
+    lz4_encode_blocks."""
+    from libzseek_tpu.ops.pallas_match import hash_parse_blocks_smem
+
+    B, N = x.shape
+    Mcap = lz4_compress_bound(N - ctx_len)
+    Mcap += (-Mcap) % 128
+    ll, ml, offv, n_seq, cover = hash_parse_blocks_smem(
+        x, lengths, max_offset=65535, start_ip=ctx_len, end_margin=5,
+        min_ref=min_ref)
+    # room for the final literals-only pseudo-sequence at index n_seq
+    pad1 = lambda a: jnp.pad(a, ((0, 0), (0, 1)))
+    ll, ml, offv = pad1(ll), pad1(ml), pad1(offv)
+    cum = jnp.cumsum(ll + ml, axis=1)
+    seq_end = ctx_len + cum
+    seq_start = seq_end - ml
+    seq_lit_from = seq_start - ll
+    seq_off = offv - 3
+    return _pack_lz4(x, lengths, seq_lit_from, seq_start, seq_end, seq_off,
+                     n_seq, cover, Mcap)

@@ -36,7 +36,7 @@ PRIME = np.uint32(2654435761)
 
 def _parse_kernel_smem(w_ref, len_ref, ll_ref, ml_ref, off_ref, n_ref,
                        table_ref, *, cap: int, max_offset: int,
-                       hash_log: int):
+                       hash_log: int, start_ip: int, end_margin: int):
     # w_ref: packed little-endian int32 words of the block bytes (Mosaic
     # has no scalar i8 ops, so bytes are extracted by shifting)
     NW = w_ref.shape[2]
@@ -49,6 +49,7 @@ def _parse_kernel_smem(w_ref, len_ref, ll_ref, ml_ref, off_ref, n_ref,
 
     jax.lax.fori_loop(0, tab_size, zb, 0)
     blen = len_ref[0, 0, 0]
+    min_ref = len_ref[0, 0, 1]   # first byte references may reach back to
     limit = blen - 12
 
     def word(q):
@@ -68,7 +69,8 @@ def _parse_kernel_smem(w_ref, len_ref, ll_ref, ml_ref, off_ref, n_ref,
 
     def extend(ip, cand):
         def cond(l):
-            return (ip + l < blen) & (byte(ip + l) == byte(cand + l))
+            return (ip + l < blen - end_margin) & \
+                (byte(ip + l) == byte(cand + l))
 
         return jax.lax.while_loop(cond, lambda l: l + 1, jnp.int32(4))
 
@@ -78,7 +80,7 @@ def _parse_kernel_smem(w_ref, len_ref, ll_ref, ml_ref, off_ref, n_ref,
         h = ((w.astype(jnp.uint32) * PRIME) >> shift).astype(jnp.int32)
         cand = table_ref[h]
         table_ref[h] = ip
-        good = (cand >= 0) & (ip - cand <= max_offset) & (cnt < cap)
+        good = (cand >= min_ref) & (ip - cand <= max_offset) & (cnt < cap)
         good = good & (w32(jnp.maximum(cand, 0)) == w)
 
         def do_match(_):
@@ -93,7 +95,17 @@ def _parse_kernel_smem(w_ref, len_ref, ll_ref, ml_ref, off_ref, n_ref,
 
         return jax.lax.cond(good, do_match, do_miss, None)
 
-    ip0 = jnp.int32(0)
+    if start_ip > 0:
+        # seed the table with the context window so first-block-byte
+        # probes can match backward into it (linked-block mode)
+        def seed(p, _):
+            w = w32(p)
+            h = ((w.astype(jnp.uint32) * PRIME) >> shift).astype(jnp.int32)
+            table_ref[h] = p
+            return 0
+
+        jax.lax.fori_loop(min_ref, jnp.int32(start_ip - 3), seed, 0)
+    ip0 = jnp.int32(start_ip)
     ip, anchor, cnt, miss = jax.lax.while_loop(
         lambda s: s[0] < limit, body, (ip0, ip0, jnp.int32(0), jnp.int32(0)))
     n_ref[0, 0, 0] = cnt
@@ -101,22 +113,32 @@ def _parse_kernel_smem(w_ref, len_ref, ll_ref, ml_ref, off_ref, n_ref,
 
 
 @partial(jax.jit, static_argnames=("cap", "max_offset", "hash_log",
-                                   "interpret"))
+                                   "start_ip", "end_margin", "interpret"))
 def hash_parse_blocks_smem(x: jnp.ndarray, lengths: jnp.ndarray,
                            cap: int | None = None,
                            max_offset: int = (1 << 17) - 1,
                            hash_log: int = 16,
+                           start_ip: int = 0, end_margin: int = 0,
+                           min_ref: jnp.ndarray | None = None,
                            interpret: bool = False):
     """SMEM-resident hash-probe parse.  x: (B, N) uint8 raw block bytes
     (N a multiple of 4); lengths (B,).  Returns (ll, ml, offv, n_seq,
-    cover_end) with the same meaning as hash_parse_blocks."""
+    cover_end).
+
+    Linked-block mode (LZ4): start_ip > 0 makes [0, start_ip) a context
+    prefix (matches start at/after start_ip but may reference back to
+    min_ref (B,)); end_margin keeps the last bytes literal (LZ4's 5-byte
+    rule)."""
     B, N = x.shape
     words = jax.lax.bitcast_convert_type(
         x.reshape(B, N // 4, 4), jnp.int32)
     if cap is None:
-        cap = max(128, N // 8)
+        cap = max(128, (N - start_ip) // 8)
+    if min_ref is None:
+        min_ref = jnp.zeros((B,), jnp.int32)
     kernel = partial(_parse_kernel_smem, cap=cap, max_offset=max_offset,
-                     hash_log=hash_log)
+                     hash_log=hash_log, start_ip=start_ip,
+                     end_margin=end_margin)
 
     def smem(shape):
         return pl.BlockSpec(memory_space=pltpu.SMEM,
@@ -127,7 +149,7 @@ def hash_parse_blocks_smem(x: jnp.ndarray, lengths: jnp.ndarray,
     ll, ml, off, nn = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[smem((B, 1, N // 4)), smem((B, 1, 1))],
+        in_specs=[smem((B, 1, N // 4)), smem((B, 1, 2))],
         out_specs=[smem((B, 1, cap)), smem((B, 1, cap)), smem((B, 1, cap)),
                    smem((B, 1, 2))],
         out_shape=[
@@ -139,5 +161,7 @@ def hash_parse_blocks_smem(x: jnp.ndarray, lengths: jnp.ndarray,
         scratch_shapes=[pltpu.SMEM((1 << hash_log,), jnp.int32)],
         interpret=interpret,
     )(words.reshape(B, 1, N // 4),
-      lengths.reshape(B, 1, 1).astype(jnp.int32))
+      jnp.stack([lengths.astype(jnp.int32),
+                 min_ref.astype(jnp.int32)],
+                axis=1).reshape(B, 1, 2))
     return (ll[:, 0], ml[:, 0], off[:, 0], nn[:, 0, 0], nn[:, 0, 1])

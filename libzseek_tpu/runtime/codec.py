@@ -43,11 +43,21 @@ class LZ4Codec:
     name = "lz4"
 
     def __init__(self, level: int = 0, max_batch_blocks: int = 256,
-                 block_independent: bool = False):
+                 block_independent: bool = False, parser: str = "auto"):
         self.level = level
         self.seg_size = 8 if level < 0 else 4
         self.max_batch_blocks = max_batch_blocks
         self.block_independent = block_independent
+        self.parser = parser
+
+    def _use_hash_parser(self) -> bool:
+        if self.parser in ("hash", "sort"):
+            return self.parser == "hash"
+        import jax
+        try:
+            return jax.devices()[0].platform != "cpu"
+        except Exception:
+            return False
 
     # --- compress ---
 
@@ -66,9 +76,12 @@ class LZ4Codec:
         for lo in range(0, len(spans), self.max_batch_blocks):
             chunk = spans[lo: lo + self.max_batch_blocks]
             B = len(chunk)
-            X = np.zeros((B, ctx + BLOCK), np.uint8)
-            lens = np.zeros((B,), np.int32)
-            min_ref = np.zeros((B,), np.int32)
+            # pad rows to a power of two: every archive size then reuses a
+            # handful of compiled shapes
+            Bp = max(8, 1 << max(0, (B - 1).bit_length()))
+            X = np.zeros((Bp, ctx + BLOCK), np.uint8)
+            lens = np.zeros((Bp,), np.int32)
+            min_ref = np.zeros((Bp,), np.int32)
             for i, (fi, s, sz) in enumerate(chunk):
                 X[i, ctx: ctx + sz] = np.frombuffer(frames[fi], np.uint8,
                                                     sz, s)
@@ -79,11 +92,18 @@ class LZ4Codec:
                         X[i, ctx - clen: ctx] = np.frombuffer(
                             frames[fi], np.uint8, clen, s - clen)
                     min_ref[i] = ctx - clen
-            out, olens = lz4_encode_blocks(
-                jnp.asarray(X), jnp.asarray(lens), seg_size=self.seg_size,
-                ctx_len=ctx, min_ref=jnp.asarray(min_ref))
-            out = np.asarray(out)
-            olens = np.asarray(olens)
+            if self._use_hash_parser():
+                from libzseek_tpu.ops.lz4_encode import lz4_encode_blocks_fast
+                out, olens = lz4_encode_blocks_fast(
+                    jnp.asarray(X), jnp.asarray(lens),
+                    min_ref=jnp.asarray(min_ref), ctx_len=ctx)
+            else:
+                out, olens = lz4_encode_blocks(
+                    jnp.asarray(X), jnp.asarray(lens),
+                    seg_size=self.seg_size, ctx_len=ctx,
+                    min_ref=jnp.asarray(min_ref))
+            out = np.asarray(out)[:B]
+            olens = np.asarray(olens)[:B]
             for i in range(B):
                 comp_payloads[lo + i] = out[i, : olens[i]].tobytes()
         # assemble frames; per block choose compressed vs stored
