@@ -165,3 +165,110 @@ def hash_parse_blocks_smem(x: jnp.ndarray, lengths: jnp.ndarray,
                  min_ref.astype(jnp.int32)],
                 axis=1).reshape(B, 1, 2))
     return (ll[:, 0], ml[:, 0], off[:, 0], nn[:, 0, 0], nn[:, 0, 1])
+
+
+# ---------------------------------------------------------------------------
+# SMEM sequence executor (decode side)
+#
+# Sequence execution is the decode wall in XLA form (pointer-doubling
+# gathers over (B, F) planes).  Here each grid step executes one block's
+# sequences as a scalar byte loop against a 256 KiB ring of the frame's
+# recent output held in SMEM scratch — the ring persists across grid steps
+# (TPU pallas iterates the grid sequentially), so linked blocks and
+# windowed matches (offset <= 128K-1, our encoder's bound) resolve without
+# any inter-step copies.  Blocks are frame-major ordered; each block's
+# positions are frame-relative (meta carries its decompressed offset).
+# ---------------------------------------------------------------------------
+
+_RING_WORDS = 1 << 16  # 256 KiB ring >= 2x the 128K-1 max offset
+
+
+def _exec_kernel_smem(lit_ref, seq_ll, seq_ml, seq_off, meta_ref, out_ref,
+                      ring_ref, *, cap: int):
+    def lit_byte(i):
+        return (lit_ref[0, 0, i >> 2] >> ((i & 3) * 8)) & 0xFF
+
+    def ring_read(p):
+        w = p >> 2
+        return (ring_ref[w & (_RING_WORDS - 1)] >> ((p & 3) * 8)) & 0xFF
+
+    def ring_write(p, b):
+        w = (p >> 2) & (_RING_WORDS - 1)
+        sh = (p & 3) * 8
+        old = ring_ref[w]
+        ring_ref[w] = (old & ~(0xFF << sh)) | ((b & 0xFF) << sh)
+
+    n_seq = meta_ref[0, 0, 0]
+    content = meta_ref[0, 0, 1]
+    base = meta_ref[0, 0, 2]      # block's decompressed offset in the frame
+
+    def seq_body(state):
+        j, op, lp = state
+        ll = seq_ll[0, 0, j]
+        ml = seq_ml[0, 0, j]
+        off = seq_off[0, 0, j]
+
+        def lit_copy(k, _):
+            ring_write(op + k, lit_byte(lp + k))
+            return 0
+
+        jax.lax.fori_loop(0, ll, lit_copy, 0)
+
+        def match_copy(k, _):
+            ring_write(op + ll + k, ring_read(op + ll + k - off))
+            return 0
+
+        jax.lax.fori_loop(0, ml, match_copy, 0)
+        return j + 1, op + ll + ml, lp + ll
+
+    j, op, lp = jax.lax.while_loop(
+        lambda s: s[0] < n_seq, seq_body,
+        (jnp.int32(0), base, jnp.int32(0)))
+
+    # stream the block's bytes out of the ring (word-aligned: blocks start
+    # at 128 KiB boundaries)
+    def out_copy(w, _):
+        out_ref[0, 0, w] = ring_ref[((base >> 2) + w) & (_RING_WORDS - 1)]
+        return 0
+
+    jax.lax.fori_loop(0, (content + 3) >> 2, out_copy, 0)
+
+
+@partial(jax.jit, static_argnames=("cap", "interpret"))
+def execute_blocks_smem(lit_words: jnp.ndarray, ll: jnp.ndarray,
+                        ml: jnp.ndarray, off: jnp.ndarray,
+                        meta: jnp.ndarray, cap: int | None = None,
+                        interpret: bool = False):
+    """Execute per-block sequence lists into output bytes.
+
+    lit_words: (BL, LW) int32 packed literal bytes per block;
+    ll/ml/off: (BL, S) int32 (off = raw distance; a trailing
+    literals-only pseudo-sequence carries the block tail);
+    meta: (BL, 3) int32 = (n_seq, content_bytes, d_offset_in_frame).
+    Blocks must be frame-major ordered with frames starting at
+    d_offset 0.  Returns (BL, 32768) int32 output words."""
+    BL, LW = lit_words.shape
+    S = ll.shape[1]
+    if cap is None:
+        cap = S
+    kernel = partial(_exec_kernel_smem, cap=cap)
+
+    def smem(shape):
+        return pl.BlockSpec(memory_space=pltpu.SMEM,
+                            block_shape=(1,) + shape[1:],
+                            index_map=lambda b: (b,) + (0,) *
+                            (len(shape) - 1))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(BL,),
+        in_specs=[smem((BL, 1, LW)), smem((BL, 1, S)), smem((BL, 1, S)),
+                  smem((BL, 1, S)), smem((BL, 1, 3))],
+        out_specs=smem((BL, 1, 1 << 15)),
+        out_shape=jax.ShapeDtypeStruct((BL, 1, 1 << 15), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((_RING_WORDS,), jnp.int32)],
+        interpret=interpret,
+    )(lit_words.reshape(BL, 1, LW), ll.reshape(BL, 1, S),
+      ml.reshape(BL, 1, S), off.reshape(BL, 1, S),
+      meta.reshape(BL, 1, 3))
+    return out[:, 0]

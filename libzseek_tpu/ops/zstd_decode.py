@@ -707,6 +707,13 @@ def _ceil_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def _exec_backend_is_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
 def _resolve_tags(vals: np.ndarray, reps: np.ndarray) -> np.ndarray:
     """Replace tagged rep values -(k*_REP_TAG + d) with reps[k-1] - d."""
     tagged = vals < 0
@@ -956,11 +963,13 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
 
     # --- host: assemble per-frame pools + sequence arrays ---
     frames_exec = []
-    for p in plans:
+    block_recs = []   # (frame_idx, lits, ll, ml, off, content, d_offset)
+    for fi_, p in enumerate(plans):
         pool_parts: list[np.ndarray] = []
         seq_ll: list[np.ndarray] = []
         seq_ml: list[np.ndarray] = []
         seq_off: list[np.ndarray] = []
+        d_off_run = 0
         reps = np.array([1, 4, 8], np.int64)
         for bp in p.blocks:
             if bp.huf_lanes:
@@ -988,6 +997,15 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
                 bp.content = covered + trailing
             else:
                 bp.content = len(lits)
+            # per-block record for the SMEM executor path
+            if bp.n_seq > 0:
+                b_ll, b_ml = seq_ll[-1], seq_ml[-1]
+                b_off = seq_off[-1]
+            else:
+                b_ll = b_ml = b_off = np.zeros(0, np.int32)
+            block_recs.append((fi_, lits, b_ll, b_ml, b_off, bp.content,
+                               d_off_run))
+            d_off_run += bp.content
             # trailing literals of the block are handled frame-wide below
         pool = (np.concatenate(pool_parts) if pool_parts
                 else np.zeros(0, np.uint8))
@@ -1035,7 +1053,67 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
             raise FormatError(
                 f"frame regenerated {out_pos} != declared {p.content_size}")
 
-    # --- device pass C: execution, one padded batch ---
+    # --- device pass C: execution ---
+    # Preferred: the SMEM block executor (ops/pallas_match.py) — scalar
+    # byte loops against a 256 KiB output ring, one grid step per block.
+    # Eligibility mirrors its limits (our encoder always qualifies);
+    # ineligible batches use the pointer-doubling XLA executor.
+    SCAP = 8191
+    eligible = _exec_backend_is_tpu()
+    for (fi_, lits, b_ll, b_ml, b_off, content, d_off) in block_recs:
+        if not eligible:
+            break
+        if (len(b_ll) + 1 > SCAP or content > zf.BLOCK_MAX or
+                d_off % 4 != 0 or
+                (len(b_off) and int(b_off.max()) >= (1 << 17))):
+            eligible = False
+    if eligible and block_recs:
+        BL = len(block_recs)
+        BLp = max(8, _ceil_pow2(BL))
+        LW = zf.BLOCK_MAX // 4
+        lit_words = np.zeros((BLp, LW), np.int32)
+        S2 = SCAP + 1
+        lla = np.zeros((BLp, S2), np.int32)
+        mla = np.zeros((BLp, S2), np.int32)
+        offa = np.ones((BLp, S2), np.int32)
+        meta = np.zeros((BLp, 3), np.int32)
+        for i, (fi_, lits, b_ll, b_ml, b_off, content, d_off) in \
+                enumerate(block_recs):
+            lb = lits.tobytes()
+            lw = np.frombuffer(lb.ljust((len(lb) + 3) // 4 * 4, b"\0"),
+                               np.int32)
+            lit_words[i, : len(lw)] = lw
+            ns = len(b_ll)
+            lla[i, :ns] = b_ll
+            mla[i, :ns] = b_ml
+            offa[i, :ns] = b_off
+            covered = int(b_ll.sum() + b_ml.sum()) if ns else 0
+            consumed = int(b_ll.sum()) if ns else 0
+            trail = content - covered
+            if trail > 0:
+                lla[i, ns] = trail
+                ns += 1
+            meta[i] = (ns, content, d_off)
+        from libzseek_tpu.ops.pallas_match import execute_blocks_smem
+        outw = np.asarray(execute_blocks_smem(
+            jnp.asarray(lit_words), jnp.asarray(lla), jnp.asarray(mla),
+            jnp.asarray(offa), jnp.asarray(meta)))
+        results: list[bytes] = []
+        cursor = 0
+        for p in plans:
+            parts = []
+            for bp in p.blocks:
+                rec = block_recs[cursor]
+                cursor += 1
+                parts.append(outw[cursor - 1].tobytes()[: rec[5]])
+            results.append(b"".join(parts))
+        for res, p in zip(results, plans):
+            if len(res) != p.content_size:
+                raise FormatError(
+                    f"frame regenerated {len(res)} != declared "
+                    f"{p.content_size}")
+        return results
+
     B = len(frames_exec)
     F = max(1, _ceil_pow2(max(fe[7] for fe in frames_exec)))
     P = max(1, _ceil_pow2(max(len(fe[0]) for fe in frames_exec)))
