@@ -219,6 +219,19 @@ class ZstdCodec:
     def _finish_blocks(self, staged):
         """Stage 2: fetch parse results, build tables, run the entropy
         kernels, assemble block payloads + hints."""
+        import os
+        import time as _time
+        prof = os.environ.get("ZN_PROFILE")
+        marks = [("t0", _time.time())]
+
+        def mark(name, fence=None):
+            if prof:
+                if fence is not None:
+                    jax.tree_util.tree_map(
+                        lambda a: a.block_until_ready()
+                        if hasattr(a, "block_until_ready") else a, fence)
+                marks.append((name, _time.time()))
+
         seqs, lens = staged
         B = lens.shape[0]           # real blocks; device arrays are padded
         Bp = seqs["n_seq"].shape[0]
@@ -227,6 +240,7 @@ class ZstdCodec:
         # (expensive through a tunneled TPU), so small arrays travel as one
         packed = np.asarray(jnp.concatenate([
             seqs["hist"].reshape(-1), seqs["lit_count"], seqs["n_seq"]]))
+        mark('packed_fetch')
         hist = packed[: Bp * 256].reshape(Bp, 256)[:B]
         lit_count = packed[Bp * 256: Bp * 256 + Bp][:B]
         n_seq = packed[Bp * 256 + Bp:][:B]
@@ -270,25 +284,39 @@ class ZstdCodec:
             modes[i] = "huf"
             code_vals[i] = codes
             code_bits[i] = lengths
+        mark('host_tables')
         # device: literal + sequence streams, shapes bucketed to the batch's
-        # actual literal/sequence counts (power-of-two to bound recompiles)
-        lmax = int(lit_count.max()) if B else 0
+        # actual literal/sequence counts (power-of-two to bound recompiles).
+        # Rows already decided non-Huffman (raw/RLE/none) are masked out of
+        # the literal kernel — they would otherwise inflate lcap to the
+        # block size (incompressible rows) and the packing cost with it.
+        huf_counts = np.where(np.array([m == "huf" for m in modes]),
+                              lit_count, 0)
+        lit_count_dev = np.zeros((Bp,), np.int32)
+        lit_count_dev[:B] = huf_counts
+        lmax = int(huf_counts.max()) if B else 0
         lcap = min(N, max(128, 1 << max(0, (lmax - 1)).bit_length()))
         lit_cap = _ceil_to(lcap + 64, 128)
         hout = huffman_encode_literals(
             jax.lax.slice_in_dim(seqs["literals"], 0, lcap, axis=1),
-            seqs["lit_count"],
+            jnp.asarray(lit_count_dev),
             jnp.asarray(code_vals), jnp.asarray(code_bits), lit_cap,
             anchor_interval=LIT_ANCHOR_INTERVAL if self.collect_hints else 0)
         streams, sizes4 = hout[0], hout[1]
+        mark('huf_kernel', hout)
         nmax = int(n_seq.max()) if B else 0
         smax = max(16, 1 << max(0, (nmax - 1)).bit_length())
+        smax = min(smax, seqs["ll"].shape[1])
         seq_cap = _ceil_to(min(N // 2, 11 * smax) + 64, 128)
         fout = fse_encode_sequences(
-            seqs["ll"], seqs["ml"], seqs["offv"], seqs["n_seq"], seq_cap,
+            jax.lax.slice_in_dim(seqs["ll"], 0, smax, axis=1),
+            jax.lax.slice_in_dim(seqs["ml"], 0, smax, axis=1),
+            jax.lax.slice_in_dim(seqs["offv"], 0, smax, axis=1),
+            seqs["n_seq"], seq_cap,
             smax=smax,
             anchor_interval=SEQ_ANCHOR_INTERVAL if self.collect_hints else 0)
         seq_stream, seq_sizes = fout[0], fout[1]
+        mark('fse_kernel', fout)
         # bundle the metadata fetch, and the two byte planes into one
         meta_parts = [sizes4.reshape(-1), seq_sizes]
         if self.collect_hints:
@@ -296,6 +324,7 @@ class ZstdCodec:
                            fout[2][1].reshape(-1), fout[2][2].reshape(-1)]
         meta = np.asarray(jnp.concatenate(meta_parts))
         both = np.asarray(jnp.concatenate([streams, seq_stream], axis=1))
+        mark('payload_fetch')
         scols = streams.shape[1]
         streams = both[:, :scols]
         seq_stream = both[:, scols:]
@@ -382,6 +411,12 @@ class ZstdCodec:
             out.append(payload if len(payload) < int(lens[i]) else None)
             out_h.append(hints.BlockHints(lit_h, seq_h)
                          if (lit_h or seq_h) else None)
+        mark('assemble')
+        if prof:
+            import sys
+            line = ' | '.join(f'{n} {t1 - t0:.3f}s' for (_, t0), (n, t1)
+                             in zip(marks, marks[1:]))
+            print(f'[ZN_PROFILE finish] {line}', file=sys.stderr)
         return out, out_h
 
     # --- decompress ---
