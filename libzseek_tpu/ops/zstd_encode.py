@@ -130,10 +130,12 @@ def zstd_sequences(x: jnp.ndarray, lengths: jnp.ndarray, *,
                 lit_count=lit_count, hist=hist)
 
 
-@partial(jax.jit, static_argnames=("out_bytes", "anchor_interval"))
+@partial(jax.jit, static_argnames=("out_bytes", "anchor_interval",
+                                   "return_words"))
 def huffman_encode_literals(lits: jnp.ndarray, lit_count: jnp.ndarray,
                             code_vals: jnp.ndarray, code_bits: jnp.ndarray,
-                            out_bytes: int, anchor_interval: int = 0):
+                            out_bytes: int, anchor_interval: int = 0,
+                            return_words: bool = False):
     """4-stream Huffman encode.
 
     lits: (B, LC) compacted literal bytes; code_vals/code_bits: (B, 256).
@@ -178,7 +180,8 @@ def huffman_encode_literals(lits: jnp.ndarray, lit_count: jnp.ndarray,
     nbits = jnp.concatenate([cb, jnp.ones((B, 4), jnp.int32)], axis=1)
     bitpos = jnp.concatenate([abs_pos, sent_pos], axis=1)
     words = BITS.pack_bits_at(values, nbits, bitpos, out_bytes // 4)
-    stream_bytes = BITS.words_to_bytes(words, out_bytes)
+    stream_bytes = words if return_words else \
+        BITS.words_to_bytes(words, out_bytes)
     if not anchor_interval:
         return stream_bytes, sizes
     # decode anchors: pos after the first k*A symbols of each stream =
@@ -206,10 +209,12 @@ def _enc_tables_dev():
     return tt(_LL_ET), tt(_OF_ET), tt(_ML_ET)
 
 
-@partial(jax.jit, static_argnames=("out_bytes", "smax", "anchor_interval"))
+@partial(jax.jit, static_argnames=("out_bytes", "smax", "anchor_interval",
+                                   "return_words"))
 def fse_encode_sequences(ll: jnp.ndarray, ml: jnp.ndarray, offv: jnp.ndarray,
                          n_seq: jnp.ndarray, out_bytes: int,
-                         smax: int | None = None, anchor_interval: int = 0):
+                         smax: int | None = None, anchor_interval: int = 0,
+                         return_words: bool = False):
     """Encode sequence codes with the predefined FSE tables.
 
     Emission order (forward write order, = what libzstd's
@@ -327,7 +332,8 @@ def fse_encode_sequences(ll: jnp.ndarray, ml: jnp.ndarray, offv: jnp.ndarray,
     all_nbs = jnp.concatenate([nbs, flush_nbs], axis=1)
     words, total_bits = BITS.pack_bits(all_vals, all_nbs, out_bytes // 4)
     byte_sizes = (total_bits + 7) >> 3  # sentinel included in total_bits
-    stream_bytes = BITS.words_to_bytes(words, out_bytes)
+    stream_bytes = words if return_words else \
+        BITS.words_to_bytes(words, out_bytes)
     if not anchor_interval:
         return stream_bytes, byte_sizes
     # --- decode anchors (format/hints.py) ---
@@ -431,6 +437,41 @@ def _fast_post(x, lengths, ll, ml, offv, n_seq, cover, cap: int):
     return dict(ll=ll2, ml=ml2, offv=off2, n_seq=n2,
                 last_literals=lengths - cover2, literals=literals,
                 lit_count=lit_count, hist=hist)
+
+
+@partial(jax.jit, static_argnames=("cap_words",))
+def compact_payload(lit_words: jnp.ndarray, lit_bytes: jnp.ndarray,
+                    seq_words: jnp.ndarray, seq_bytes: jnp.ndarray,
+                    cap_words: int):
+    """Pack the live prefix of each row's literal + sequence streams into one
+    dense word buffer, so the host fetches only real payload bytes instead of
+    (B, lit_cap)-shaped planes that are mostly padding (the device->host
+    link is the scarce resource under a tunneled TPU).
+
+    lit_words: (B, LW) uint32, lit_bytes: (B,) int32 used bytes (0 = skip
+    row); seq_words: (B, SW) uint32, seq_bytes: (B,) int32.  Returns
+    (flat (cap_words,) uint32, base_words (B,) int32, lit_words_used (B,)
+    int32) where row r's literal stream occupies bytes
+    [4*base[r], 4*base[r]+lit_bytes[r]) of the flat buffer and its sequence
+    stream starts at byte 4*(base[r]+lit_words_used[r])."""
+    B, LW = lit_words.shape
+    SW = seq_words.shape[1]
+    lw = (lit_bytes + 3) >> 2
+    sw = (seq_bytes + 3) >> 2
+    row_words = lw + sw
+    base = jnp.cumsum(row_words) - row_words
+    flat = jnp.zeros((1, cap_words), jnp.uint32)
+    colL = jnp.broadcast_to(np.arange(LW, dtype=np.int32)[None, :], (B, LW))
+    idxL = (base + 0)[:, None] + colL
+    flat = C.scatter1_set(flat, idxL.reshape(1, -1),
+                          lit_words.reshape(1, -1),
+                          (colL < lw[:, None]).reshape(1, -1))
+    colS = jnp.broadcast_to(np.arange(SW, dtype=np.int32)[None, :], (B, SW))
+    idxS = (base + lw)[:, None] + colS
+    flat = C.scatter1_set(flat, idxS.reshape(1, -1),
+                          seq_words.reshape(1, -1),
+                          (colS < sw[:, None]).reshape(1, -1))
+    return flat[0], base, lw
 
 
 def zstd_sequences_fast(x: jnp.ndarray, lengths: jnp.ndarray):

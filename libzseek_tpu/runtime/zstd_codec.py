@@ -29,7 +29,8 @@ from libzseek_tpu.errors import FormatError
 from libzseek_tpu.format import hints
 from libzseek_tpu.format import zstd_frame as zf
 from libzseek_tpu.ops import huffman
-from libzseek_tpu.ops.zstd_encode import (fse_encode_sequences,
+from libzseek_tpu.ops.zstd_encode import (compact_payload,
+                                          fse_encode_sequences,
                                           huffman_encode_literals,
                                           zstd_sequences)
 
@@ -250,6 +251,7 @@ class ZstdCodec:
         code_bits = np.zeros((Bp, 256), np.int32)
         trees: list[bytes | None] = [None] * B
         modes: list[str] = ["raw"] * B
+        ests: list[int] = [0] * B
         if native.have_native():
             n_lengths, n_codes, n_trees, _mb = native.huf_build_batch(
                 hist.astype(np.uint32))
@@ -277,11 +279,13 @@ class ZstdCodec:
                 except FormatError:
                     continue
                 lengths, codes = ct.lengths, ct.codes
-            est = int(np.sum(hist[i] * lengths) // 8) + len(tree) + 6 + 8
+            est_bits = int(np.sum(hist[i] * lengths))
+            est = est_bits // 8 + len(tree) + 6 + 8
             if est >= lc:
                 continue
             trees[i] = tree
             modes[i] = "huf"
+            ests[i] = est_bits // 8 + 8  # true bound on the 4 stream bytes
             code_vals[i] = codes
             code_bits[i] = lengths
         mark('host_tables')
@@ -301,7 +305,8 @@ class ZstdCodec:
             jax.lax.slice_in_dim(seqs["literals"], 0, lcap, axis=1),
             jnp.asarray(lit_count_dev),
             jnp.asarray(code_vals), jnp.asarray(code_bits), lit_cap,
-            anchor_interval=LIT_ANCHOR_INTERVAL if self.collect_hints else 0)
+            anchor_interval=LIT_ANCHOR_INTERVAL if self.collect_hints else 0,
+            return_words=True)
         streams, sizes4 = hout[0], hout[1]
         mark('huf_kernel', hout)
         nmax = int(n_seq.max()) if B else 0
@@ -314,24 +319,43 @@ class ZstdCodec:
             jax.lax.slice_in_dim(seqs["offv"], 0, smax, axis=1),
             seqs["n_seq"], seq_cap,
             smax=smax,
-            anchor_interval=SEQ_ANCHOR_INTERVAL if self.collect_hints else 0)
+            anchor_interval=SEQ_ANCHOR_INTERVAL if self.collect_hints else 0,
+            return_words=True)
         seq_stream, seq_sizes = fout[0], fout[1]
         mark('fse_kernel', fout)
-        # bundle the metadata fetch, and the two byte planes into one
-        meta_parts = [sizes4.reshape(-1), seq_sizes]
+        # compact the live stream bytes into one dense buffer on device —
+        # the (B, lit_cap) planes are mostly padding and the tunneled
+        # device->host link is the scarce resource
+        huf_mask = np.zeros((Bp,), np.int32)
+        huf_mask[:B] = [m == "huf" for m in modes]
+        lit_bytes_dev = jnp.sum(sizes4, axis=1) * jnp.asarray(huf_mask)
+        cap_bytes = sum(e + 16 for e in ests) + \
+            int(np.sum(n_seq.astype(np.int64) * 9 + 12)) + 256
+        cap_words = max(1024, 1 << int(cap_bytes // 4).bit_length())
+        flat, base_w, lw_w = compact_payload(
+            streams, lit_bytes_dev, seq_stream, seq_sizes, cap_words)
+        # bundle the metadata fetch and the payload into one transfer
+        meta_parts = [sizes4.reshape(-1), seq_sizes, base_w, lw_w]
         if self.collect_hints:
             meta_parts += [hout[2].reshape(-1), fout[2][0].reshape(-1),
                            fout[2][1].reshape(-1), fout[2][2].reshape(-1)]
-        meta = np.asarray(jnp.concatenate(meta_parts))
-        both = np.asarray(jnp.concatenate([streams, seq_stream], axis=1))
+        meta_len = sum(int(np.prod(p.shape)) for p in meta_parts)
+        fetched = np.asarray(jnp.concatenate(
+            meta_parts + [jax.lax.bitcast_convert_type(flat, jnp.int32)]))
+        meta = fetched[:meta_len]
+        flat_bytes = fetched[meta_len:].view(np.uint8)
         mark('payload_fetch')
-        scols = streams.shape[1]
-        streams = both[:, :scols]
-        seq_stream = both[:, scols:]
         sizes4 = meta[: Bp * 4].reshape(Bp, 4)
         seq_sizes = meta[Bp * 4: Bp * 5]
+        base_w = meta[Bp * 5: Bp * 6]
+        lw_w = meta[Bp * 6: Bp * 7]
+        if B:
+            need = int(base_w[B - 1] + lw_w[B - 1] +
+                       (int(seq_sizes[B - 1]) + 3) // 4)
+            assert need <= cap_words, \
+                f"payload compaction overflow: {need} > {cap_words}"
         if self.collect_hints:
-            pos = Bp * 5
+            pos = Bp * 7
             la_n = int(np.prod(hout[2].shape))
             lit_anchors = meta[pos: pos + la_n].reshape(hout[2].shape)
             pos += la_n
@@ -378,8 +402,9 @@ class ZstdCodec:
             elif modes[i] == "huf":
                 jump = b"".join(int(sizes4[i, k]).to_bytes(2, "little")
                                 for k in range(3))
+                lo = 4 * int(base_w[i])
                 payload = trees[i] + jump + \
-                    streams[i, : int(sizes4[i].sum())].tobytes()
+                    flat_bytes[lo: lo + int(sizes4[i].sum())].tobytes()
                 lit_sec = _lit_section_huff(lc, len(payload), payload)
                 if lit_anchors is not None:
                     sA = LIT_ANCHOR_INTERVAL
@@ -398,7 +423,8 @@ class ZstdCodec:
             seq_h = None
             if ns > 0:
                 seq_sec += bytes([0x00])  # all predefined modes
-                seq_sec += seq_stream[i, : int(seq_sizes[i])].tobytes()
+                lo = 4 * int(base_w[i] + lw_w[i])
+                seq_sec += flat_bytes[lo: lo + int(seq_sizes[i])].tobytes()
                 if self.collect_hints:
                     sA = SEQ_ANCHOR_INTERVAL
                     na = max(0, -(-ns // sA) - 1)
