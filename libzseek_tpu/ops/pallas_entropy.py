@@ -1,0 +1,390 @@
+"""Fused SMEM entropy emission — Huffman literal streams + FSE sequences.
+
+The XLA entropy stage pays gather/scatter rates (~100M elem/s) over
+(B, 128K) literal planes plus a scatter-based bit packer; at lcap=128K that
+is ~0.65 s per 8 MiB batch, with another ~0.3 s spent materializing the
+compacted literal plane it consumes.  This kernel replaces all of it with
+one sequential scalar pass per block on the TPU core (SMEM allows dynamic
+scalar load/store; see ops/pallas_match.py and PERF.md):
+
+  * literal runs are walked straight out of the raw block words via the
+    sequence list — no literal plane is ever materialized;
+  * Huffman codes are pushed LSB-first into the 4-stream layout in reverse
+    symbol order (what the backward-reading decoder expects), with decode
+    anchors (format/hints.py) recorded inline;
+  * the FSE/tANS 3-state walk over sequences runs in the same kernel with
+    the predefined distributions, extras and state flushes bit-exact with
+    ops/zstd_encode.fse_encode_sequences (tested against it);
+  * raw-literal rows (Huffman unprofitable) get a forward byte copy
+    instead, so the host never fetches a literal plane either way.
+
+Reference counterpart: HUF_compress4X + ZSTD_encodeSequences inside
+ZSTD_compress2 (/root/reference/src/compress.c:666).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from libzseek_tpu.format import zstd_frame as zf
+from libzseek_tpu.ops import fse
+
+# mode bits (meta[3])
+MODE_HUF = 1      # emit 4-stream Huffman literal section payload
+MODE_RAWLIT = 2   # emit the literal bytes verbatim (forward copy)
+MODE_SEQ = 4      # emit the FSE sequence stream
+
+LIT_ANCHOR_INTERVAL = 512   # literals per stream anchor (pow2)
+SEQ_ANCHOR_INTERVAL = 128   # sequences per anchor (pow2)
+_LA_LOG = 9
+_SA_LOG = 7
+
+# ---- constant table pack (host, once) ----
+
+
+def _build_tabs() -> tuple[np.ndarray, dict[str, int]]:
+    ll_et = fse.build_encode_table(zf.LL_DEFAULT_NORM, zf.LL_DEFAULT_LOG)
+    of_et = fse.build_encode_table(zf.OF_DEFAULT_NORM, zf.OF_DEFAULT_LOG)
+    ml_et = fse.build_encode_table(zf.ML_DEFAULT_NORM, zf.ML_DEFAULT_LOG)
+    ll_code = np.searchsorted(zf._LL_BASE, np.arange(64), side="right") - 1
+    ml_code = np.searchsorted(zf._ML_BASE, np.arange(3, 131),
+                              side="right") - 1
+    parts = [
+        ("ll_st", ll_et.state_table), ("ll_dnb", ll_et.delta_nb_bits),
+        ("ll_dfs", ll_et.delta_find_state),
+        ("of_st", of_et.state_table), ("of_dnb", of_et.delta_nb_bits),
+        ("of_dfs", of_et.delta_find_state),
+        ("ml_st", ml_et.state_table), ("ml_dnb", ml_et.delta_nb_bits),
+        ("ml_dfs", ml_et.delta_find_state),
+        ("ll_code", ll_code), ("ml_code", ml_code),
+        ("ll_bits", zf.LL_BITS), ("ll_base", zf.LL_BASELINE),
+        ("ml_bits", zf.ML_BITS), ("ml_base", zf.ML_BASELINE),
+    ]
+    offs = {}
+    chunks = []
+    pos = 0
+    for name, arr in parts:
+        offs[name] = pos
+        a = np.asarray(arr, np.int32)
+        chunks.append(a)
+        pos += len(a)
+    return np.concatenate(chunks).astype(np.int32), offs
+
+
+_TABS, _OFF = _build_tabs()
+
+
+def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs,
+                    lit_o, seq_o, osz, lanch, sanch, run_pos, run_cum,
+                    *, S: int, LITW: int, SEQW: int, LMAXA: int, SMAXA: int):
+    O = _OFF
+    blen = meta[0, 0, 0]
+    lc = meta[0, 0, 1]
+    n = meta[0, 0, 2]
+    mode = meta[0, 0, 3]
+
+    def byte(i):
+        return (words[0, 0, i >> 2] >> ((i & 3) * 8)) & 0xFF
+
+    for k in range(8):
+        osz[0, 0, k] = 0
+
+    def zla(i, _):
+        lanch[0, 0, i] = -1
+        return 0
+
+    def zsa(i, _):
+        sanch[0, 0, i] = -1
+        return 0
+
+    jax.lax.fori_loop(0, 4 * LMAXA, zla, 0)
+    jax.lax.fori_loop(0, 5 * SMAXA, zsa, 0)
+
+    # --- literal-run table: run j starts at input pos run_pos[j] and its
+    # first literal has global literal index run_cum[j]; run n is the tail
+    def runs_body(j, st):
+        pos, litcum = st
+        run_pos[j] = pos
+        run_cum[j] = litcum
+        return pos + sll[0, 0, j] + sml[0, 0, j], litcum + sll[0, 0, j]
+
+    pos_f, cum_f = jax.lax.fori_loop(
+        0, n, runs_body, (jnp.int32(0), jnp.int32(0)))
+    run_pos[n] = pos_f
+    run_cum[n] = cum_f
+
+    # --- bit pusher over a uint32 word ref; state = (buf, nb, w) ---
+    def push(ref, st, v, nbits):
+        buf, nb, w = st
+        v = v.astype(jnp.uint32)
+        total = nb + nbits
+        spill = total >= 32
+        merged = buf | (v << nb.astype(jnp.uint32))
+
+        @pl.when(spill)
+        def _():
+            ref[0, 0, w] = merged
+
+        # v >> (32-nb) without an undefined >>32 when nb == 0
+        hi = (v >> (jnp.uint32(31) - nb.astype(jnp.uint32))) >> 1
+        buf2 = jnp.where(spill, hi, merged)
+        return buf2, jnp.where(spill, total - 32, total), w + spill
+
+    def stream_open(ref, byte_base):
+        w0 = byte_base >> 2
+        nb0 = (byte_base & 3) * 8
+        buf0 = jnp.where(
+            nb0 > 0,
+            ref[0, 0, w0] & ((jnp.uint32(1) << nb0.astype(jnp.uint32))
+                             - jnp.uint32(1)),
+            jnp.uint32(0))
+        return buf0, nb0, w0
+
+    def stream_close(ref, st):
+        buf, nb, w = push(ref, st, jnp.uint32(1), jnp.int32(1))  # sentinel
+
+        @pl.when(nb > 0)
+        def _():
+            ref[0, 0, w] = buf
+
+    # --- Huffman 4-stream literal payload ---
+    @pl.when((mode & MODE_HUF) != 0)
+    def _():
+        s = (lc + 3) >> 2
+        byte_base = jnp.int32(0)
+        for s4 in range(4):
+            cnt = s if s4 < 3 else lc - 3 * s
+            gbase = s4 * s
+            buf0, nb0, w0 = stream_open(lit_o, byte_base)
+
+            def lit_body(state):
+                k, r, buf, nb, w, sbits = state
+                g = gbase + k
+                r = jax.lax.while_loop(
+                    lambda rr: run_cum[rr] > g, lambda rr: rr - 1, r)
+                ipos = run_pos[r] + (g - run_cum[r])
+                p = codes[0, 0, byte(ipos)]
+                cb = p & 15
+                buf, nb, w = push(lit_o, (buf, nb, w),
+                                  (p >> 4).astype(jnp.uint32), cb)
+                sbits = sbits + cb
+
+                @pl.when((k > 0) & ((k & (LIT_ANCHOR_INTERVAL - 1)) == 0))
+                def _():
+                    lanch[0, 0, s4 * LMAXA + (k >> _LA_LOG) - 1] = sbits
+
+                return k - 1, r, buf, nb, w, sbits
+
+            k0 = cnt - 1
+            _, _, buf, nb, w, sbits = jax.lax.while_loop(
+                lambda st: st[0] >= 0, lit_body,
+                (k0, n, buf0, nb0, w0, jnp.int32(0)))
+            stream_close(lit_o, (buf, nb, w))
+            sz = (sbits + 1 + 7) >> 3
+            osz[0, 0, s4] = sz
+            byte_base = byte_base + sz
+
+    # --- raw literal copy (forward order) ---
+    @pl.when((mode & MODE_RAWLIT) != 0)
+    def _():
+        def run_copy(r, _):
+            base_out = run_cum[r]
+            base_in = run_pos[r]
+            rl = jnp.where(r < n, run_cum[r + 1], lc) - base_out
+
+            def cb(k, _):
+                o = base_out + k
+                wv = lit_o[0, 0, o >> 2]
+                sh = ((o & 3) * 8).astype(jnp.uint32)
+                b = byte(base_in + k).astype(jnp.uint32)
+                lit_o[0, 0, o >> 2] = (wv & ~(jnp.uint32(0xFF) << sh)) | \
+                    (b << sh)
+                return 0
+
+            jax.lax.fori_loop(0, rl, cb, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n + 1, run_copy, 0)
+        osz[0, 0, 0] = lc
+
+    # --- FSE sequence stream ---
+    @pl.when(((mode & MODE_SEQ) != 0) & (n > 0))
+    def _():
+        def exp_of(v):
+            e = jnp.int32(0)
+            for t in (16, 8, 4, 2, 1):
+                c = (v >> t) != 0
+                e = e + jnp.where(c, t, 0)
+                v = jnp.where(c, v >> t, v)
+            return e
+
+        def enc_sym(state, sym, st_off, dnb_off, dfs_off):
+            nb = (state + tabs[0, 0, dnb_off + sym]) >> 16
+            bits_v = (state & ((1 << nb) - 1)).astype(jnp.uint32)
+            new = tabs[0, 0, st_off + (state >> nb) +
+                       tabs[0, 0, dfs_off + sym]]
+            return new, bits_v, nb
+
+        def init_state(sym, st_off, dnb_off, dfs_off):
+            dnb = tabs[0, 0, dnb_off + sym]
+            nb = (dnb + (1 << 15)) >> 16
+            v = (nb << 16) - dnb
+            return tabs[0, 0, st_off + (v >> nb) + tabs[0, 0, dfs_off + sym]]
+
+        def codes_of(ll_v, ml_v, of_v):
+            llc = jnp.where(ll_v > 63, exp_of(ll_v) + 19,
+                            tabs[0, 0, O["ll_code"] + jnp.minimum(ll_v, 63)])
+            mb = ml_v - 3
+            mlc = jnp.where(
+                mb > 127, exp_of(jnp.maximum(mb, 1)) + 36,
+                tabs[0, 0, O["ml_code"] + jnp.clip(mb, 0, 127)])
+            ofc = exp_of(of_v)
+            return llc, mlc, ofc
+
+        def seq_body(state):
+            t, s_ll, s_of, s_ml, bst = state
+            i = n - 1 - t
+            ll_v = sll[0, 0, i]
+            ml_v = sml[0, 0, i]
+            of_v = soff[0, 0, i]
+            llc, mlc, ofc = codes_of(ll_v, ml_v, of_v)
+            first = t == 0
+            n_of, bv_of, nb_of = enc_sym(s_of, ofc, O["of_st"],
+                                         O["of_dnb"], O["of_dfs"])
+            n_ml, bv_ml, nb_ml = enc_sym(s_ml, mlc, O["ml_st"],
+                                         O["ml_dnb"], O["ml_dfs"])
+            n_ll, bv_ll, nb_ll = enc_sym(s_ll, llc, O["ll_st"],
+                                         O["ll_dnb"], O["ll_dfs"])
+            s_of = jnp.where(first,
+                             init_state(ofc, O["of_st"], O["of_dnb"],
+                                        O["of_dfs"]), n_of)
+            s_ml = jnp.where(first,
+                             init_state(mlc, O["ml_st"], O["ml_dnb"],
+                                        O["ml_dfs"]), n_ml)
+            s_ll = jnp.where(first,
+                             init_state(llc, O["ll_st"], O["ll_dnb"],
+                                        O["ll_dfs"]), n_ll)
+            z = jnp.int32(0)
+            nb_of = jnp.where(first, z, nb_of)
+            nb_ml = jnp.where(first, z, nb_ml)
+            nb_ll = jnp.where(first, z, nb_ll)
+            llb = tabs[0, 0, O["ll_bits"] + llc]
+            llv = (ll_v - tabs[0, 0, O["ll_base"] + llc]).astype(jnp.uint32)
+            mlb = tabs[0, 0, O["ml_bits"] + mlc]
+            mlv = (ml_v - tabs[0, 0, O["ml_base"] + mlc]).astype(jnp.uint32)
+            ofvx = (of_v - (1 << ofc)).astype(jnp.uint32)
+            bst = push(seq_o, bst, bv_of, nb_of)
+            bst = push(seq_o, bst, bv_ml, nb_ml)
+            bst = push(seq_o, bst, bv_ll, nb_ll)
+            bst = push(seq_o, bst, llv, llb)
+            bst = push(seq_o, bst, mlv, mlb)
+            bst = push(seq_o, bst, ofvx, ofc)
+            pb = bst[1] + (bst[2] << 5)  # total bits pushed = 32*w + nb
+
+            @pl.when((i > 0) & ((i & (SEQ_ANCHOR_INTERVAL - 1)) == 0))
+            def _():
+                ka = (i >> _SA_LOG) - 1
+                sanch[0, 0, ka] = pb
+                sanch[0, 0, SMAXA + ka] = s_ll - (1 << zf.LL_DEFAULT_LOG)
+                sanch[0, 0, 2 * SMAXA + ka] = s_of - (1 << zf.OF_DEFAULT_LOG)
+                sanch[0, 0, 3 * SMAXA + ka] = s_ml - (1 << zf.ML_DEFAULT_LOG)
+
+            return t + 1, s_ll, s_of, s_ml, bst
+
+        bst0 = (jnp.uint32(0), jnp.int32(0), jnp.int32(0))
+        t, s_ll, s_of, s_ml, bst = jax.lax.while_loop(
+            lambda st: st[0] < n, seq_body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0), bst0))
+        bst = push(seq_o, bst, (s_ml & ((1 << zf.ML_DEFAULT_LOG) - 1)
+                                ).astype(jnp.uint32),
+                   jnp.int32(zf.ML_DEFAULT_LOG))
+        bst = push(seq_o, bst, (s_of & ((1 << zf.OF_DEFAULT_LOG) - 1)
+                                ).astype(jnp.uint32),
+                   jnp.int32(zf.OF_DEFAULT_LOG))
+        bst = push(seq_o, bst, (s_ll & ((1 << zf.LL_DEFAULT_LOG) - 1)
+                                ).astype(jnp.uint32),
+                   jnp.int32(zf.LL_DEFAULT_LOG))
+        total = bst[1] + (bst[2] << 5) + 1  # + sentinel
+        stream_close(seq_o, bst)
+        osz[0, 0, 4] = (total + 7) >> 3
+
+        # rep1 anchors: last explicitly-coded offset among sequences < j
+        def rep_body(i, last):
+            @pl.when((i > 0) & ((i & (SEQ_ANCHOR_INTERVAL - 1)) == 0))
+            def _():
+                sanch[0, 0, 4 * SMAXA + (i >> _SA_LOG) - 1] = last
+
+            of_v = soff[0, 0, i]
+            return jnp.where(of_v > 3, of_v - 3, last)
+
+        jax.lax.fori_loop(0, n, rep_body, jnp.int32(1))
+
+
+@partial(jax.jit, static_argnames=("S", "lit_cap", "seq_cap", "interpret"))
+def entropy_emit_smem(x: jnp.ndarray, sll: jnp.ndarray, sml: jnp.ndarray,
+                      soff: jnp.ndarray, meta: jnp.ndarray,
+                      codes: jnp.ndarray, S: int, lit_cap: int, seq_cap: int,
+                      interpret: bool = False):
+    """Emit final entropy-coded streams per block row.
+
+    x: (B, N) uint8 raw block bytes (N multiple of 4); sll/sml/soff:
+    (B, S) int32 post-gate sequences; meta: (B, 4) int32 = (block_len,
+    lit_count, n_seq, mode bits); codes: (B, 256) int32 packed Huffman
+    codes ((value << 4) | nbits).
+
+    Returns (lit_words (B, lit_cap//4) uint32, seq_words (B, seq_cap//4)
+    uint32, osz (B, 8) int32 [4 stream sizes, seq_bytes, ...],
+    lit_anchors (B, 4, LMAXA) int32, seq_anchor_pack (B, 5, SMAXA) int32
+    [bits, ll_state, of_state, ml_state, rep1])."""
+    B, N = x.shape
+    NW = N // 4
+    LITW = lit_cap // 4
+    SEQW = seq_cap // 4
+    LMAXA = max(1, ((N // 4) + LIT_ANCHOR_INTERVAL - 1)
+                // LIT_ANCHOR_INTERVAL)
+    SMAXA = max(1, (S + SEQ_ANCHOR_INTERVAL - 1) // SEQ_ANCHOR_INTERVAL)
+    words = jax.lax.bitcast_convert_type(x.reshape(B, NW, 4), jnp.int32)
+    kernel = partial(_entropy_kernel, S=S, LITW=LITW, SEQW=SEQW,
+                     LMAXA=LMAXA, SMAXA=SMAXA)
+
+    def smem(shape, const=False):
+        if const:
+            return pl.BlockSpec(memory_space=pltpu.SMEM,
+                                block_shape=(1,) + shape[1:],
+                                index_map=lambda b: (0,) * len(shape))
+        return pl.BlockSpec(memory_space=pltpu.SMEM,
+                            block_shape=(1,) + shape[1:],
+                            index_map=lambda b: (b,) + (0,) *
+                            (len(shape) - 1))
+
+    tabs = jnp.asarray(_TABS)[None, None, :]
+    lit_w, seq_w, osz, lanch, sanch = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[smem((B, 1, NW)), smem((B, 1, S)), smem((B, 1, S)),
+                  smem((B, 1, S)), smem((B, 1, 4)), smem((B, 1, 256)),
+                  smem((1, 1, _TABS.shape[0]), const=True)],
+        out_specs=[smem((B, 1, LITW)), smem((B, 1, SEQW)), smem((B, 1, 8)),
+                   smem((B, 1, 4 * LMAXA)), smem((B, 1, 5 * SMAXA))],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, LITW), jnp.uint32),
+            jax.ShapeDtypeStruct((B, 1, SEQW), jnp.uint32),
+            jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 4 * LMAXA), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 5 * SMAXA), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((S + 1,), jnp.int32),
+                        pltpu.SMEM((S + 1,), jnp.int32)],
+        interpret=interpret,
+    )(words.reshape(B, 1, NW), sll.reshape(B, 1, S), sml.reshape(B, 1, S),
+      soff.reshape(B, 1, S), meta.reshape(B, 1, 4),
+      codes.reshape(B, 1, 256), tabs)
+    return (lit_w[:, 0], seq_w[:, 0], osz[:, 0],
+            lanch[:, 0].reshape(B, 4, LMAXA),
+            sanch[:, 0].reshape(B, 5, SMAXA))

@@ -439,6 +439,72 @@ def _fast_post(x, lengths, ll, ml, offv, n_seq, cover, cap: int):
                 lit_count=lit_count, hist=hist)
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def _fast_post_nolit(x, lengths, ll, ml, offv, n_seq, cover, cap: int):
+    """_fast_post without materializing the compacted literal plane — the
+    SMEM entropy kernel (ops/pallas_entropy.py) reads literal runs straight
+    from the raw words, so only the gate/recompaction, literal histogram and
+    counts are needed here."""
+    B, N = x.shape
+    seq_cum = jnp.cumsum(ll + ml, axis=1)
+    seq_end = seq_cum
+    seq_start = seq_cum - ml
+    idxs = jnp.broadcast_to(np.arange(cap, dtype=np.int32)[None, :], (B, cap))
+    valid = idxs < n_seq[:, None]
+    pos = jnp.broadcast_to(np.arange(N, dtype=np.int32)[None, :], (B, N))
+    in_range = pos < lengths[:, None]
+    hist_all = C.hist256(x, in_range)
+    pr = hist_all.astype(jnp.float32) / jnp.maximum(
+        lengths[:, None].astype(jnp.float32), 1.0)
+    H = -jnp.sum(jnp.where(pr > 0, pr * jnp.log2(jnp.maximum(pr, 1e-9)),
+                           0.0), axis=1)
+    H = jnp.clip(H, 1.0, 8.0)[:, None]
+    cost = 20.0 + _exp_of(jnp.maximum(offv, 1)).astype(jnp.float32)
+    keep = valid & (ml.astype(jnp.float32) * H > cost)
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    n2 = jnp.sum(keep.astype(jnp.int32), axis=1)
+
+    def compact(vals):
+        dst = jnp.zeros((B, cap), jnp.int32)
+        return C.scatter1_set(dst, rank, vals.astype(jnp.int32), keep)
+
+    start_k = compact(seq_start)
+    end_k = compact(seq_end)
+    off_k = compact(offv)
+    valid2 = idxs < n2[:, None]
+    prev_end = jnp.pad(end_k[:, :-1], ((0, 0), (1, 0)))
+    ll2 = jnp.where(valid2, start_k - prev_end, 0)
+    ml2 = jnp.where(valid2, end_k - start_k, 0)
+    off2 = jnp.where(valid2, off_k, 0)
+    cover2 = jnp.max(jnp.where(valid2, end_k, 0), axis=1)
+    in_match = C.fill_regions(N, start_k, end_k, valid2)
+    is_lit = (~in_match) & in_range
+    lit_count = jnp.sum(is_lit.astype(jnp.int32), axis=1)
+    hist = C.hist256(x, is_lit)
+    return dict(ll=ll2, ml=ml2, offv=off2, n_seq=n2,
+                last_literals=lengths - cover2,
+                lit_count=lit_count, hist=hist)
+
+
+@partial(jax.jit, static_argnames=())
+def extract_literals(x, lengths, ll, ml, n_seq):
+    """Materialize the compacted literal plane for a (sub)batch — the
+    fallback for paths that still need host literal bytes (XLA entropy
+    path, raw/RLE rows on the legacy pipeline)."""
+    B, N = x.shape
+    cap = ll.shape[1]
+    seq_cum = jnp.cumsum(ll + ml, axis=1)
+    seq_start = seq_cum - ml
+    idxs = jnp.broadcast_to(np.arange(cap, dtype=np.int32)[None, :], (B, cap))
+    valid = idxs < n_seq[:, None]
+    pos = jnp.broadcast_to(np.arange(N, dtype=np.int32)[None, :], (B, N))
+    in_match = C.fill_regions(N, seq_start, seq_cum, valid)
+    is_lit = (~in_match) & (pos < lengths[:, None])
+    lit_rank = C.exclusive_cumsum(is_lit.astype(jnp.int32), axis=1)
+    literals = jnp.zeros((B, N), jnp.uint8)
+    return C.scatter1_set(literals, lit_rank, x, is_lit)
+
+
 @partial(jax.jit, static_argnames=("cap_words",))
 def compact_payload(lit_words: jnp.ndarray, lit_bytes: jnp.ndarray,
                     seq_words: jnp.ndarray, seq_bytes: jnp.ndarray,
@@ -482,3 +548,12 @@ def zstd_sequences_fast(x: jnp.ndarray, lengths: jnp.ndarray):
     B, N = x.shape
     ll, ml, offv, n_seq, cover = hash_parse_blocks_smem(x, lengths)
     return _fast_post(x, lengths, ll, ml, offv, n_seq, cover, ll.shape[1])
+
+
+def zstd_sequences_fast_nolit(x: jnp.ndarray, lengths: jnp.ndarray):
+    """Hash parse + gate without the literal plane (for the fused SMEM
+    entropy path, which reads literals straight from the raw words)."""
+    from libzseek_tpu.ops.pallas_match import hash_parse_blocks_smem
+    ll, ml, offv, n_seq, cover = hash_parse_blocks_smem(x, lengths)
+    return _fast_post_nolit(x, lengths, ll, ml, offv, n_seq, cover,
+                            ll.shape[1])

@@ -86,6 +86,8 @@ def _nbseq_header(n: int) -> bytes:
 
 LIT_ANCHOR_INTERVAL = 512
 SEQ_ANCHOR_INTERVAL = 128
+SMEM_SEQ_MAX = 4096   # beyond this sequence count per block: XLA fallback
+SMEM_SEQ_MIN = 512    # lower bound on the kernel's sequence bucket
 
 
 class ZstdCodec:
@@ -99,7 +101,8 @@ class ZstdCodec:
     supports_hints = True
 
     def __init__(self, level: int = 3, max_batch_blocks: int = 64,
-                 collect_hints: bool = True, parser: str = "auto"):
+                 collect_hints: bool = True, parser: str = "auto",
+                 entropy: str = "auto"):
         self.level = level
         # level knob maps to candidate granularity / extension length,
         # the analog of zstd's level-indexed search parameters
@@ -111,6 +114,10 @@ class ZstdCodec:
         # algorithm on the TPU core) on real TPUs, the sort-based exact
         # pipeline elsewhere (CPU tests, interpret mode)
         self.parser = parser
+        # entropy stage: "auto" = fused SMEM kernel when the parse ran
+        # without a literal plane (TPU), XLA kernels otherwise; "smem" /
+        # "xla" force a path (smem on CPU runs in interpret mode, tests)
+        self.entropy = entropy
 
     def _use_hash_parser(self) -> bool:
         if self.parser == "hash":
@@ -208,18 +215,25 @@ class ZstdCodec:
         for i, blk in enumerate(blocks):
             X[i, : len(blk)] = blk
             lens[i] = len(blk)
+        Xd = jnp.asarray(X)
         if self._use_hash_parser():
-            from libzseek_tpu.ops.zstd_encode import zstd_sequences_fast
-            seqs = zstd_sequences_fast(jnp.asarray(X), jnp.asarray(lens))
+            if self.entropy in ("auto", "smem"):
+                from libzseek_tpu.ops.zstd_encode import \
+                    zstd_sequences_fast_nolit
+                seqs = zstd_sequences_fast_nolit(Xd, jnp.asarray(lens))
+            else:
+                from libzseek_tpu.ops.zstd_encode import zstd_sequences_fast
+                seqs = zstd_sequences_fast(Xd, jnp.asarray(lens))
         else:
-            seqs = zstd_sequences(jnp.asarray(X), jnp.asarray(lens),
+            seqs = zstd_sequences(Xd, jnp.asarray(lens),
                                   seg_size=self.seg_size,
                                   max_len=self.max_len)
-        return seqs, lens[:B]
+        return seqs, lens[:B], Xd, lens
 
     def _finish_blocks(self, staged):
         """Stage 2: fetch parse results, build tables, run the entropy
-        kernels, assemble block payloads + hints."""
+        stage (fused SMEM kernel on TPU, XLA kernels elsewhere), assemble
+        block payloads + hints."""
         import os
         import time as _time
         prof = os.environ.get("ZN_PROFILE")
@@ -233,10 +247,9 @@ class ZstdCodec:
                         if hasattr(a, "block_until_ready") else a, fence)
                 marks.append((name, _time.time()))
 
-        seqs, lens = staged
+        seqs, lens, x_dev, lens_pad = staged
         B = lens.shape[0]           # real blocks; device arrays are padded
         Bp = seqs["n_seq"].shape[0]
-        N = BLOCK
         # one packed fetch: every device->host transfer pays a round trip
         # (expensive through a tunneled TPU), so small arrays travel as one
         packed = np.asarray(jnp.concatenate([
@@ -245,8 +258,48 @@ class ZstdCodec:
         hist = packed[: Bp * 256].reshape(Bp, 256)[:B]
         lit_count = packed[Bp * 256: Bp * 256 + Bp][:B]
         n_seq = packed[Bp * 256 + Bp:][:B]
-        # host: huffman tables per block (native batch build when available);
-        # code tables sized to the padded batch for the device kernels
+        nmax = int(n_seq.max()) if B else 0
+        smax = max(16, 1 << max(0, (nmax - 1)).bit_length())
+        smax = min(smax, seqs["ll"].shape[1])
+        want_smem = self.entropy == "smem" or (
+            self.entropy == "auto" and "literals" not in seqs)
+        use_smem = want_smem and smax <= SMEM_SEQ_MAX
+        if "literals" not in seqs and not use_smem:
+            from libzseek_tpu.ops.zstd_encode import extract_literals
+            seqs = dict(seqs)
+            seqs["literals"] = extract_literals(
+                x_dev, jnp.asarray(lens_pad), seqs["ll"], seqs["ml"],
+                seqs["n_seq"])
+        modes, trees, ests, code_vals, code_bits = self._decide_modes(
+            hist, lit_count, n_seq, lens, Bp, exact=not use_smem)
+        mark('host_tables')
+        if use_smem:
+            ent = self._entropy_smem(seqs, x_dev, lens, lit_count, n_seq,
+                                     modes, trees, ests, code_vals,
+                                     code_bits, smax, mark)
+        else:
+            ent = self._entropy_xla(seqs, lens, lit_count, n_seq, modes,
+                                    trees, ests, code_vals, code_bits,
+                                    smax, mark)
+        out = self._assemble(B, lens, lit_count, n_seq, hist, modes, trees,
+                             ent)
+        mark('assemble')
+        if prof:
+            import sys
+            line = ' | '.join(f'{n} {t1 - t0:.3f}s' for (_, t0), (n, t1)
+                              in zip(marks, marks[1:]))
+            print(f'[ZN_PROFILE finish] {line}', file=sys.stderr)
+        return out
+
+    def _decide_modes(self, hist, lit_count, n_seq, lens, Bp, exact):
+        """Per-block literal-section mode decisions + Huffman tables.
+
+        modes: "none" | "rle" | "raw" | "huf" | "skip" ("skip" = the block
+        is certain to be stored raw, so no streams are emitted at all).
+        When exact=False (fused-kernel path) the huf-vs-raw decision uses
+        the provable Huffman size bound up front, since the post-hoc
+        fallback would need literal bytes the kernel never materializes."""
+        B = len(lens)
         code_vals = np.zeros((Bp, 256), np.int32)
         code_bits = np.zeros((Bp, 256), np.int32)
         trees: list[bytes | None] = [None] * B
@@ -259,38 +312,171 @@ class ZstdCodec:
             n_lengths = n_codes = n_trees = None
         for i in range(B):
             lc = int(lit_count[i])
+            blen = int(lens[i])
             nz = np.count_nonzero(hist[i])
             if lc == 0:
                 modes[i] = "none"
                 continue
+            raw_hdr = 1 if lc < 32 else (2 if lc < 4096 else 3)
             if nz == 1:
                 modes[i] = "rle"
                 continue
             if lc < 64:
+                ests[i] = lc + 8
                 continue  # raw literals
             if n_trees is not None:
                 tree, lengths, codes = n_trees[i], n_lengths[i], n_codes[i]
                 if tree is None:
+                    ests[i] = lc + 8
                     continue
             else:
                 ct = huffman.build_ctable(hist[i])
                 try:
                     tree = huffman.write_weights(ct)
                 except FormatError:
+                    ests[i] = lc + 8
                     continue
                 lengths, codes = ct.lengths, ct.codes
             est_bits = int(np.sum(hist[i] * lengths))
+            stream_bound = est_bits // 8 + 8  # true bound on 4 stream bytes
             est = est_bits // 8 + len(tree) + 6 + 8
             if est >= lc:
+                ests[i] = lc + 8
                 continue
+            if not exact:
+                # conservative pre-fallback (no literal bytes on host)
+                payload_bound = len(tree) + 6 + stream_bound
+                hdr = 3 if (lc <= 1023 and payload_bound <= 1023) else \
+                    4 if (lc <= 16383 and payload_bound <= 16383) else 5
+                if hdr + payload_bound >= raw_hdr + lc:
+                    ests[i] = lc + 8
+                    continue
             trees[i] = tree
             modes[i] = "huf"
-            ests[i] = est_bits // 8 + 8  # true bound on the 4 stream bytes
+            ests[i] = stream_bound
             code_vals[i] = codes
             code_bits[i] = lengths
-        mark('host_tables')
-        # device: literal + sequence streams, shapes bucketed to the batch's
-        # actual literal/sequence counts (power-of-two to bound recompiles).
+        # rows that stayed raw-literals and whose minimal payload already
+        # reaches the block size are certain to be stored as raw blocks —
+        # skip emitting any streams for them
+        for i in range(B):
+            if modes[i] != "raw":
+                continue
+            lc = int(lit_count[i])
+            raw_hdr = 1 if lc < 32 else (2 if lc < 4096 else 3)
+            if lc > 0 and raw_hdr + lc + 1 >= int(lens[i]):
+                modes[i] = "skip"
+                ests[i] = 0
+        return modes, trees, ests, code_vals, code_bits
+
+    def _fetch_payload(self, Bp, streams, lit_bytes_dev, seq_stream,
+                       seq_bytes_dev, cap_words, anchors, mark):
+        """compact_payload + one bundled device->host transfer.  anchors is
+        a list of device arrays appended to the metadata section.  Returns
+        (sizes4_like None, ...) -- actually (meta np array, flat bytes,
+        base_w, lw_w, anchor arrays)."""
+        flat, base_w, lw_w = compact_payload(
+            streams, lit_bytes_dev, seq_stream, seq_bytes_dev, cap_words)
+        meta_parts = [base_w, lw_w] + [a.reshape(-1) for a in anchors]
+        meta_len = sum(int(np.prod(p.shape)) for p in meta_parts)
+        fetched = np.asarray(jnp.concatenate(
+            meta_parts + [jax.lax.bitcast_convert_type(flat, jnp.int32)]))
+        meta = fetched[:meta_len]
+        flat_bytes = fetched[meta_len:].view(np.uint8)
+        mark('payload_fetch')
+        base_w = meta[:Bp]
+        lw_w = meta[Bp: 2 * Bp]
+        rest = meta[2 * Bp:]
+        outs = []
+        pos = 0
+        for a in anchors:
+            na = int(np.prod(a.shape))
+            outs.append(rest[pos: pos + na].reshape(a.shape))
+            pos += na
+        return flat_bytes, base_w, lw_w, outs
+
+    def _entropy_smem(self, seqs, x_dev, lens, lit_count, n_seq, modes,
+                      trees, ests, code_vals, code_bits, smax, mark):
+        """Fused SMEM entropy emission (ops/pallas_entropy.py)."""
+        from libzseek_tpu.ops import pallas_entropy as pe
+        B = len(lens)
+        Bp = seqs["n_seq"].shape[0]
+        N = BLOCK
+        S = max(SMEM_SEQ_MIN, smax)
+        lit_cap = _ceil_to(N + 64, 128)
+        seq_cap = _ceil_to(9 * S + 64, 128)
+        mode_bits = np.zeros((Bp,), np.int32)
+        for i in range(B):
+            m = modes[i]
+            if m == "huf":
+                mode_bits[i] = pe.MODE_HUF | pe.MODE_SEQ
+            elif m == "raw" and int(lit_count[i]) > 0:
+                mode_bits[i] = pe.MODE_RAWLIT | pe.MODE_SEQ
+            elif m in ("none", "rle", "raw"):
+                mode_bits[i] = pe.MODE_SEQ
+            # "skip": 0
+        meta = np.zeros((Bp, 4), np.int32)
+        meta[:B, 0] = lens
+        meta[:B, 1] = lit_count
+        meta[:B, 2] = n_seq
+        meta[:B, 3] = mode_bits[:B]
+        codes_packed = (code_vals << 4) | code_bits
+        interp = jax.devices()[0].platform == "cpu"
+        kout = pe.entropy_emit_smem(
+            x_dev,
+            jax.lax.slice_in_dim(seqs["ll"], 0, S, axis=1),
+            jax.lax.slice_in_dim(seqs["ml"], 0, S, axis=1),
+            jax.lax.slice_in_dim(seqs["offv"], 0, S, axis=1),
+            jnp.asarray(meta), jnp.asarray(codes_packed),
+            S, lit_cap, seq_cap, interpret=interp)
+        lit_w, seq_w, osz, lanch, sanch = kout
+        mark('entropy_kernel', osz)
+        sizes4_dev = osz[:, :4]
+        lit_bytes_dev = jnp.sum(sizes4_dev, axis=1)
+        seq_bytes_dev = osz[:, 4]
+        cap_bytes = sum(e + 16 for e in ests) + \
+            int(np.sum(n_seq.astype(np.int64) * 9 + 12)) + 256
+        cap_words = max(1024, 1 << int(cap_bytes // 4).bit_length())
+        anchors = [osz]
+        if self.collect_hints:
+            anchors += [lanch, sanch]
+        flat_bytes, base_w, lw_w, outs = self._fetch_payload(
+            Bp, lit_w, lit_bytes_dev, seq_w, seq_bytes_dev, cap_words,
+            anchors, mark)
+        osz_h = outs[0]
+        sizes4 = osz_h[:, :4]
+        seq_sizes = osz_h[:, 4]
+        if B:
+            need = int(base_w[B - 1] + lw_w[B - 1] +
+                       (int(seq_sizes[B - 1]) + 3) // 4)
+            assert need <= cap_words, \
+                f"payload compaction overflow: {need} > {cap_words}"
+        if self.collect_hints:
+            lit_anchors = outs[1]
+            sa = outs[2]
+            sa_bits = sa[:, 0]
+            sa_states = np.stack([sa[:, 1], sa[:, 2], sa[:, 3]], axis=2)
+            sa_rep1 = sa[:, 4]
+        else:
+            lit_anchors = sa_bits = sa_states = sa_rep1 = None
+        # raw-literal rows read their bytes from the flat buffer
+        lit_rows: dict[int, np.ndarray] = {}
+        for i in range(B):
+            if mode_bits[i] & pe.MODE_RAWLIT:
+                lo = 4 * int(base_w[i])
+                lit_rows[i] = flat_bytes[lo: lo + int(lit_count[i])]
+        return dict(sizes4=sizes4, seq_sizes=seq_sizes,
+                    flat_bytes=flat_bytes, base_w=base_w, lw_w=lw_w,
+                    lit_anchors=lit_anchors, sa_bits=sa_bits,
+                    sa_states=sa_states, sa_rep1=sa_rep1, lit_rows=lit_rows,
+                    modes=modes)
+
+    def _entropy_xla(self, seqs, lens, lit_count, n_seq, modes, trees,
+                     ests, code_vals, code_bits, smax, mark):
+        """XLA entropy kernels (CPU tests / interpret / big-seq fallback)."""
+        B = len(lens)
+        Bp = seqs["n_seq"].shape[0]
+        N = BLOCK
         # Rows already decided non-Huffman (raw/RLE/none) are masked out of
         # the literal kernel — they would otherwise inflate lcap to the
         # block size (incompressible rows) and the packing cost with it.
@@ -307,70 +493,43 @@ class ZstdCodec:
             jnp.asarray(code_vals), jnp.asarray(code_bits), lit_cap,
             anchor_interval=LIT_ANCHOR_INTERVAL if self.collect_hints else 0,
             return_words=True)
-        streams, sizes4 = hout[0], hout[1]
+        streams, sizes4_dev = hout[0], hout[1]
         mark('huf_kernel', hout)
-        nmax = int(n_seq.max()) if B else 0
-        smax = max(16, 1 << max(0, (nmax - 1)).bit_length())
-        smax = min(smax, seqs["ll"].shape[1])
         seq_cap = _ceil_to(min(N // 2, 11 * smax) + 64, 128)
         fout = fse_encode_sequences(
             jax.lax.slice_in_dim(seqs["ll"], 0, smax, axis=1),
             jax.lax.slice_in_dim(seqs["ml"], 0, smax, axis=1),
             jax.lax.slice_in_dim(seqs["offv"], 0, smax, axis=1),
-            seqs["n_seq"], seq_cap,
-            smax=smax,
+            seqs["n_seq"], seq_cap, smax=smax,
             anchor_interval=SEQ_ANCHOR_INTERVAL if self.collect_hints else 0,
             return_words=True)
-        seq_stream, seq_sizes = fout[0], fout[1]
+        seq_stream, seq_sizes_dev = fout[0], fout[1]
         mark('fse_kernel', fout)
-        # compact the live stream bytes into one dense buffer on device —
-        # the (B, lit_cap) planes are mostly padding and the tunneled
-        # device->host link is the scarce resource
         huf_mask = np.zeros((Bp,), np.int32)
         huf_mask[:B] = [m == "huf" for m in modes]
-        lit_bytes_dev = jnp.sum(sizes4, axis=1) * jnp.asarray(huf_mask)
+        lit_bytes_dev = jnp.sum(sizes4_dev, axis=1) * jnp.asarray(huf_mask)
         cap_bytes = sum(e + 16 for e in ests) + \
             int(np.sum(n_seq.astype(np.int64) * 9 + 12)) + 256
         cap_words = max(1024, 1 << int(cap_bytes // 4).bit_length())
-        flat, base_w, lw_w = compact_payload(
-            streams, lit_bytes_dev, seq_stream, seq_sizes, cap_words)
-        # bundle the metadata fetch and the payload into one transfer
-        meta_parts = [sizes4.reshape(-1), seq_sizes, base_w, lw_w]
+        anchors = [sizes4_dev.reshape(-1), seq_sizes_dev]
         if self.collect_hints:
-            meta_parts += [hout[2].reshape(-1), fout[2][0].reshape(-1),
-                           fout[2][1].reshape(-1), fout[2][2].reshape(-1)]
-        meta_len = sum(int(np.prod(p.shape)) for p in meta_parts)
-        fetched = np.asarray(jnp.concatenate(
-            meta_parts + [jax.lax.bitcast_convert_type(flat, jnp.int32)]))
-        meta = fetched[:meta_len]
-        flat_bytes = fetched[meta_len:].view(np.uint8)
-        mark('payload_fetch')
-        sizes4 = meta[: Bp * 4].reshape(Bp, 4)
-        seq_sizes = meta[Bp * 4: Bp * 5]
-        base_w = meta[Bp * 5: Bp * 6]
-        lw_w = meta[Bp * 6: Bp * 7]
+            anchors += [hout[2], fout[2][0], fout[2][1], fout[2][2]]
+        flat_bytes, base_w, lw_w, outs = self._fetch_payload(
+            Bp, streams, lit_bytes_dev, seq_stream, seq_sizes_dev,
+            cap_words, anchors, mark)
+        sizes4 = outs[0].reshape(Bp, 4)
+        seq_sizes = outs[1]
         if B:
             need = int(base_w[B - 1] + lw_w[B - 1] +
                        (int(seq_sizes[B - 1]) + 3) // 4)
             assert need <= cap_words, \
                 f"payload compaction overflow: {need} > {cap_words}"
         if self.collect_hints:
-            pos = Bp * 7
-            la_n = int(np.prod(hout[2].shape))
-            lit_anchors = meta[pos: pos + la_n].reshape(hout[2].shape)
-            pos += la_n
-            sb_n = int(np.prod(fout[2][0].shape))
-            sa_bits = meta[pos: pos + sb_n].reshape(fout[2][0].shape)
-            pos += sb_n
-            ss_n = int(np.prod(fout[2][1].shape))
-            sa_states = meta[pos: pos + ss_n].reshape(fout[2][1].shape)
-            pos += ss_n
-            sa_rep1 = meta[pos:].reshape(fout[2][2].shape)
+            lit_anchors, sa_bits, sa_states, sa_rep1 = outs[2:6]
         else:
-            lit_anchors = None
-        # Decide huf->raw fallbacks exactly from the fetched sizes, then
-        # gather literal BYTES for only the rows that need them on host
-        # (raw payload / RLE byte) — not the whole (B, N) plane.
+            lit_anchors = sa_bits = sa_states = sa_rep1 = None
+        # exact huf->raw fallback from the fetched sizes, then fetch
+        # bytes for rows that need them on host (raw payloads)
         for i in range(B):
             if modes[i] != "huf":
                 continue
@@ -383,22 +542,43 @@ class ZstdCodec:
                 modes[i] = "raw"
                 trees[i] = None
         need_rows = [i for i in range(B)
-                     if modes[i] in ("raw", "rle") and lit_count[i] > 0]
+                     if modes[i] == "raw" and lit_count[i] > 0]
         lit_rows: dict[int, np.ndarray] = {}
         if need_rows:
             picked = np.asarray(seqs["literals"][jnp.asarray(need_rows)])
-            lit_rows = {r: picked[k] for k, r in enumerate(need_rows)}
-        # host: assemble per block (+ decode hints, format/hints.py)
+            lit_rows = {r: picked[k][: int(lit_count[r])]
+                        for k, r in enumerate(need_rows)}
+        return dict(sizes4=sizes4, seq_sizes=seq_sizes,
+                    flat_bytes=flat_bytes, base_w=base_w, lw_w=lw_w,
+                    lit_anchors=lit_anchors, sa_bits=sa_bits,
+                    sa_states=sa_states, sa_rep1=sa_rep1, lit_rows=lit_rows,
+                    modes=modes)
+
+    def _assemble(self, B, lens, lit_count, n_seq, hist, modes, trees, ent):
+        """Build per-block payloads + decode hints from fetched streams."""
+        sizes4 = ent["sizes4"]
+        seq_sizes = ent["seq_sizes"]
+        flat_bytes = ent["flat_bytes"]
+        base_w = ent["base_w"]
+        lw_w = ent["lw_w"]
+        lit_anchors = ent["lit_anchors"]
+        sa_bits, sa_states, sa_rep1 = (ent["sa_bits"], ent["sa_states"],
+                                       ent["sa_rep1"])
+        lit_rows = ent["lit_rows"]
+        modes = ent["modes"]
         out: list[bytes | None] = []
         out_h: list[object | None] = []
         for i in range(B):
             lc = int(lit_count[i])
-            lits = (lit_rows[i][:lc].tobytes() if i in lit_rows else b"")
+            if modes[i] == "skip":
+                out.append(None)
+                out_h.append(None)
+                continue
             lit_h = None
             if modes[i] == "none":
                 lit_sec = _lit_section_raw(b"")
             elif modes[i] == "rle":
-                lit_sec = _lit_section_rle(lits[0], lc)
+                lit_sec = _lit_section_rle(int(np.argmax(hist[i])), lc)
             elif modes[i] == "huf":
                 jump = b"".join(int(sizes4[i, k]).to_bytes(2, "little")
                                 for k in range(3))
@@ -417,6 +597,7 @@ class ZstdCodec:
                                     lit_anchors[i, s4, :na]])
                     lit_h = hints.StreamAnchors(sA, per)
             else:
+                lits = lit_rows[i].tobytes() if i in lit_rows else b""
                 lit_sec = _lit_section_raw(lits)
             ns = int(n_seq[i])
             seq_sec = _nbseq_header(ns)
@@ -425,7 +606,7 @@ class ZstdCodec:
                 seq_sec += bytes([0x00])  # all predefined modes
                 lo = 4 * int(base_w[i] + lw_w[i])
                 seq_sec += flat_bytes[lo: lo + int(seq_sizes[i])].tobytes()
-                if self.collect_hints:
+                if sa_bits is not None:
                     sA = SEQ_ANCHOR_INTERVAL
                     na = max(0, -(-ns // sA) - 1)
                     seq_h = hints.SeqAnchors(
@@ -437,12 +618,6 @@ class ZstdCodec:
             out.append(payload if len(payload) < int(lens[i]) else None)
             out_h.append(hints.BlockHints(lit_h, seq_h)
                          if (lit_h or seq_h) else None)
-        mark('assemble')
-        if prof:
-            import sys
-            line = ' | '.join(f'{n} {t1 - t0:.3f}s' for (_, t0), (n, t1)
-                             in zip(marks, marks[1:]))
-            print(f'[ZN_PROFILE finish] {line}', file=sys.stderr)
         return out, out_h
 
     # --- decompress ---
