@@ -52,27 +52,32 @@ def _parse_kernel_smem(w_ref, len_ref, ll_ref, ml_ref, off_ref, n_ref,
     min_ref = len_ref[0, 0, 1]   # first byte references may reach back to
     limit = blen - 12
 
-    def word(q):
-        return w_ref[0, 0, jnp.clip(q, 0, NW - 1)]
-
     def byte(i):
-        return (word(i >> 2) >> ((i & 3) * 8)) & 0xFF
+        return (w_ref[0, 0, i >> 2] >> ((i & 3) * 8)) & 0xFF
 
     def w32(i):
+        # unaligned LE32 load; callers stay in-bounds for the low word,
+        # only the high word can touch one past the end
         q = i >> 2
         sh = ((i & 3) * 8).astype(jnp.uint32)
-        lo = word(q).astype(jnp.uint32)
-        hi = word(q + 1).astype(jnp.uint32)
+        lo = w_ref[0, 0, q].astype(jnp.uint32)
+        hi = w_ref[0, 0, jnp.minimum(q + 1, NW - 1)].astype(jnp.uint32)
         v = (lo >> sh) | jnp.where(
             sh == 0, jnp.uint32(0), hi << (jnp.uint32(32) - sh))
         return v.astype(jnp.int32)
 
     def extend(ip, cand):
-        def cond(l):
-            return (ip + l < blen - end_margin) & \
-                (byte(ip + l) == byte(cand + l))
+        # word-at-a-time: 4 bytes per compare, then up to 3 tail bytes
+        lim = blen - end_margin
 
-        return jax.lax.while_loop(cond, lambda l: l + 1, jnp.int32(4))
+        def wcond(l):
+            return (ip + l + 4 <= lim) & (w32(ip + l) == w32(cand + l))
+
+        l = jax.lax.while_loop(wcond, lambda l: l + 4, jnp.int32(4))
+        for _ in range(3):
+            ok = (ip + l < lim) & (byte(ip + l) == byte(cand + l))
+            l = l + ok
+        return l
 
     def body(state):
         ip, anchor, cnt, miss = state
