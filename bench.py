@@ -54,8 +54,11 @@ def run(total_mb: int, chunk: int = 1 << 20, min_frame: int = 1 << 20,
 
 
 def main():
-    warm_mb = int(os.environ.get("BENCH_WARMUP_MB", "16"))
     total_mb = int(os.environ.get("BENCH_MB", "64"))
+    # warm-up at the same size: shape buckets (literal/sequence/payload
+    # capacities) depend on batch content, and each distinct bucket pays an
+    # executable build/load through the tunnel on first use
+    warm_mb = int(os.environ.get("BENCH_WARMUP_MB", str(total_mb)))
     run(warm_mb)  # compile warm-up (cached afterwards)
     mibs, ratio, frames, dt = run(total_mb)
     print(json.dumps({

@@ -62,6 +62,12 @@ class Writer:
         # frame just before the seek table at close
         self._hints: list | None = \
             [] if getattr(self._codec, "supports_hints", False) else None
+        # streaming session: keeps uploads / device batches / host assembly
+        # overlapped across flush boundaries (codecs without begin_stream
+        # compress synchronously per drained batch)
+        self._stream = (self._codec.begin_stream(return_hints=True)
+                        if hasattr(self._codec, "begin_stream") else None)
+        self._stream_raw: list[list[bytes]] = []  # raw groups, FIFO
 
     # --- public API (zseek_write parity) ---
 
@@ -83,6 +89,8 @@ class Writer:
     def flush(self) -> None:
         """Force-compress queued complete frames (not the partial buffer)."""
         self._drain_queue()
+        if self._stream is not None:
+            self._write_out(self._stream.finish())
 
     def close(self) -> WriterStats:
         """Flush the final partial frame, write the seek table, return final
@@ -93,6 +101,8 @@ class Writer:
             self._enqueue_frame(bytes(self._buffer))
             self._buffer.clear()
         self._drain_queue()
+        if self._stream is not None:
+            self._write_out(self._stream.finish())
         if self._hints and any(any(b is not None for b in f)
                                for f in self._hints):
             from libzseek_tpu.format import hints as H
@@ -119,6 +129,10 @@ class Writer:
         if not self._queue:
             return
         frames, self._queue = self._queue, []
+        if self._stream is not None:
+            self._stream_raw.append(frames)
+            self._write_out(self._stream.submit(frames))
+            return
         if self._hints is not None:
             compressed, fhints = self._codec.compress_frames(
                 frames, return_hints=True)
@@ -130,12 +144,25 @@ class Writer:
             self._framelog.log_frame(len(comp), len(raw))
             self._stats.compressed_size += len(comp)
 
+    def _write_out(self, groups) -> None:
+        """Write completed stream groups (in order) to the sink."""
+        for compressed, fhints in groups:
+            raw_frames = self._stream_raw.pop(0)
+            if self._hints is not None:
+                self._hints.extend(fhints)
+            for raw, comp in zip(raw_frames, compressed):
+                self._sink.write(comp)
+                self._framelog.log_frame(len(comp), len(raw))
+                self._stats.compressed_size += len(comp)
+
     def _refresh_stats(self) -> None:
         st = self._stats
         st.seek_table_size = self._framelog.size()
         st.seek_table_memory = self._framelog.memory_usage()
         st.frames = len(self._framelog)
-        st.buffered_size = len(self._buffer) + sum(len(f) for f in self._queue)
+        st.buffered_size = len(self._buffer) + \
+            sum(len(f) for f in self._queue) + \
+            sum(len(f) for g in self._stream_raw for f in g)
 
     def __enter__(self):
         return self

@@ -133,8 +133,27 @@ class ZstdCodec:
 
     def compress_frames(self, frames: list[bytes | memoryview],
                         return_hints: bool = False):
-        if not frames:
-            return ([], []) if return_hints else []
+        stream = self.begin_stream(return_hints=True)
+        groups = stream.submit(frames) + stream.finish()
+        out, out_hints = [], []
+        for fr_out, fh in groups:
+            out.extend(fr_out)
+            out_hints.extend(fh)
+        return (out, out_hints) if return_hints else out
+
+    def begin_stream(self, return_hints: bool = False, depth: int = 2):
+        """Open a streaming compression session: `submit(frames)` dispatches
+        a frame group into the device pipeline and returns any OLDER groups
+        that completed, `finish()` drains the rest.  Groups complete in
+        submission order, so callers can write results straight to a sink.
+        This keeps the upload/parse of group k+2 in flight while group k+1
+        is on the device and group k is being assembled on the host — the
+        single-batch pipeline inside compress_frames cannot overlap across
+        Writer flushes."""
+        return _ZstdStream(self, return_hints, depth)
+
+    @staticmethod
+    def _frame_spans(frames):
         spans = []
         for fi, fr in enumerate(frames):
             n = len(fr)
@@ -142,29 +161,9 @@ class ZstdCodec:
                 continue
             for s in range(0, n, BLOCK):
                 spans.append((fi, s, min(BLOCK, n - s)))
-        block_payloads: dict[int, bytes] = {}
-        block_hints: dict[int, object] = {}
-        # software pipeline: the parse stage of batch k+1 is dispatched
-        # before batch k's results are fetched, so the device never idles
-        # while the host builds tables / assembles containers
-        pending: list[tuple[int, tuple]] = []
-        for lo in range(0, len(spans), self.max_batch_blocks):
-            chunk = spans[lo: lo + self.max_batch_blocks]
-            pending.append((lo, self._dispatch_parse(
-                [np.frombuffer(frames[fi], np.uint8, sz, s)
-                 for fi, s, sz in chunk])))
-            if len(pending) >= 2:
-                lo0, st = pending.pop(0)
-                payloads, bhints = self._finish_blocks(st)
-                for i, (p, bh) in enumerate(zip(payloads, bhints)):
-                    block_payloads[lo0 + i] = p
-                    block_hints[lo0 + i] = bh
-        for lo0, st in pending:
-            payloads, bhints = self._finish_blocks(st)
-            for i, (p, bh) in enumerate(zip(payloads, bhints)):
-                block_payloads[lo0 + i] = p
-                block_hints[lo0 + i] = bh
-        # assemble frames
+        return spans
+
+    def _assemble_frames(self, frames, spans, block_payloads, block_hints):
         out = []
         out_hints = []
         cursor = 0
@@ -195,7 +194,7 @@ class ZstdCodec:
                     fhints.append(bh)
             out.append(bytes(body))
             out_hints.append(fhints)
-        return (out, out_hints) if return_hints else out
+        return out, out_hints
 
     def _compress_blocks(self, blocks: list[np.ndarray]):
         """Compress raw blocks -> (compressed-block payloads (None = store
@@ -215,6 +214,10 @@ class ZstdCodec:
         for i, blk in enumerate(blocks):
             X[i, : len(blk)] = blk
             lens[i] = len(blk)
+        import os as _os
+        import sys as _sys
+        import time as _time
+        _t0 = _time.time()
         Xd = jnp.asarray(X)
         if self._use_hash_parser():
             if self.entropy in ("auto", "smem"):
@@ -228,6 +231,9 @@ class ZstdCodec:
             seqs = zstd_sequences(Xd, jnp.asarray(lens),
                                   seg_size=self.seg_size,
                                   max_len=self.max_len)
+        if _os.environ.get("ZN_PROFILE"):
+            print(f"[ZN_PROFILE dispatch] {_time.time() - _t0:.3f}s",
+                  file=_sys.stderr)
         return seqs, lens[:B], Xd, lens
 
     def _finish_blocks(self, staged):
@@ -630,3 +636,57 @@ class ZstdCodec:
                           frame_hints: list | None = None) -> list[bytes]:
         from libzseek_tpu.ops.zstd_decode import decode_frames
         return decode_frames(datas, d_sizes, hints=frame_hints)
+
+
+class _ZstdStream:
+    """Streaming compression session (see ZstdCodec.begin_stream).
+
+    Groups of frames move through a global FIFO of device batches; at most
+    `depth` batches stay in flight, older ones are finished (fetched +
+    assembled) as new ones are submitted, so device compute, both tunnel
+    directions and host assembly overlap continuously across Writer
+    flushes."""
+
+    def __init__(self, codec: ZstdCodec, return_hints: bool, depth: int):
+        from collections import deque
+        self._codec = codec
+        self._return_hints = return_hints
+        self._depth = max(1, depth)
+        self._groups = deque()
+        self._inflight = 0
+
+    def submit(self, frames):
+        from collections import deque
+        codec = self._codec
+        frames = list(frames)
+        spans = codec._frame_spans(frames)
+        g = {"frames": frames, "spans": spans, "batches": deque(),
+             "payloads": {}, "bhints": {}}
+        for lo in range(0, len(spans), codec.max_batch_blocks):
+            chunk = spans[lo: lo + codec.max_batch_blocks]
+            g["batches"].append((lo, codec._dispatch_parse(
+                [np.frombuffer(frames[fi], np.uint8, sz, s)
+                 for fi, s, sz in chunk])))
+            self._inflight += 1
+        self._groups.append(g)
+        return self._drain(self._depth)
+
+    def finish(self):
+        return self._drain(0)
+
+    def _drain(self, depth: int):
+        codec = self._codec
+        while self._inflight > depth:
+            g = next(gr for gr in self._groups if gr["batches"])
+            lo0, st = g["batches"].popleft()
+            payloads, bhints = codec._finish_blocks(st)
+            for i, (p, bh) in enumerate(zip(payloads, bhints)):
+                g["payloads"][lo0 + i] = p
+                g["bhints"][lo0 + i] = bh
+            self._inflight -= 1
+        done = []
+        while self._groups and not self._groups[0]["batches"]:
+            g = self._groups.popleft()
+            done.append(codec._assemble_frames(
+                g["frames"], g["spans"], g["payloads"], g["bhints"]))
+        return done
