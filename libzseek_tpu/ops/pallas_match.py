@@ -190,15 +190,35 @@ _RING_WORDS = 1 << 16  # 256 KiB ring >= 2x the 128K-1 max offset
 
 def _exec_kernel_smem(lit_ref, seq_ll, seq_ml, seq_off, meta_ref, out_ref,
                       ring_ref, *, cap: int):
+    LW = lit_ref.shape[2]
+    M = _RING_WORDS - 1
+
     def lit_byte(i):
         return (lit_ref[0, 0, i >> 2] >> ((i & 3) * 8)) & 0xFF
 
+    def lit_w32(i):
+        # unaligned LE32 from the packed literal words
+        q = i >> 2
+        sh = ((i & 3) * 8).astype(jnp.uint32)
+        lo = lit_ref[0, 0, q].astype(jnp.uint32)
+        hi = lit_ref[0, 0, jnp.minimum(q + 1, LW - 1)].astype(jnp.uint32)
+        return (lo >> sh) | jnp.where(
+            sh == 0, jnp.uint32(0), hi << (jnp.uint32(32) - sh))
+
     def ring_read(p):
         w = p >> 2
-        return (ring_ref[w & (_RING_WORDS - 1)] >> ((p & 3) * 8)) & 0xFF
+        return (ring_ref[w & M] >> ((p & 3) * 8)) & 0xFF
+
+    def ring_w32(p):
+        q = p >> 2
+        sh = ((p & 3) * 8).astype(jnp.uint32)
+        lo = ring_ref[q & M].astype(jnp.uint32)
+        hi = ring_ref[(q + 1) & M].astype(jnp.uint32)
+        return (lo >> sh) | jnp.where(
+            sh == 0, jnp.uint32(0), hi << (jnp.uint32(32) - sh))
 
     def ring_write(p, b):
-        w = (p >> 2) & (_RING_WORDS - 1)
+        w = (p >> 2) & M
         sh = (p & 3) * 8
         old = ring_ref[w]
         ring_ref[w] = (old & ~(0xFF << sh)) | ((b & 0xFF) << sh)
@@ -213,17 +233,57 @@ def _exec_kernel_smem(lit_ref, seq_ll, seq_ml, seq_off, meta_ref, out_ref,
         ml = seq_ml[0, 0, j]
         off = seq_off[0, 0, j]
 
-        def lit_copy(k, _):
+        # --- literal copy: align dst to a word, then 4 bytes/iteration ---
+        head = jnp.minimum(ll, (-op) & 3)
+
+        def lhead(k, _):
             ring_write(op + k, lit_byte(lp + k))
             return 0
 
-        jax.lax.fori_loop(0, ll, lit_copy, 0)
+        jax.lax.fori_loop(0, head, lhead, 0)
+        nw = (ll - head) >> 2
+        dw0 = (op + head) >> 2
 
-        def match_copy(k, _):
-            ring_write(op + ll + k, ring_read(op + ll + k - off))
+        def lword(k, _):
+            ring_ref[(dw0 + k) & M] = lit_w32(lp + head + 4 * k).astype(
+                jnp.int32)
             return 0
 
-        jax.lax.fori_loop(0, ml, match_copy, 0)
+        jax.lax.fori_loop(0, nw, lword, 0)
+        done = head + 4 * nw
+
+        def ltail(k, _):
+            ring_write(op + done + k, lit_byte(lp + done + k))
+            return 0
+
+        jax.lax.fori_loop(0, ll - done, ltail, 0)
+
+        # --- match copy: word-wise when off >= 4 (source fully behind) ---
+        ms = op + ll
+        safe = off >= 4
+        mhead = jnp.where(safe, jnp.minimum(ml, (-ms) & 3), ml)
+
+        def mbyte(k, _):
+            ring_write(ms + k, ring_read(ms + k - off))
+            return 0
+
+        jax.lax.fori_loop(0, mhead, mbyte, 0)
+        mw = jnp.where(safe, (ml - mhead) >> 2, 0)
+        mw0 = (ms + mhead) >> 2
+
+        def mword(k, _):
+            ring_ref[(mw0 + k) & M] = ring_w32(
+                ms + mhead + 4 * k - off).astype(jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, mw, mword, 0)
+        mdone = mhead + 4 * mw
+
+        def mtail(k, _):
+            ring_write(ms + mdone + k, ring_read(ms + mdone + k - off))
+            return 0
+
+        jax.lax.fori_loop(0, ml - mdone, mtail, 0)
         return j + 1, op + ll + ml, lp + ll
 
     j, op, lp = jax.lax.while_loop(

@@ -776,9 +776,20 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
         d_sizes = [None] * len(datas)
     if hints is None:
         hints = [None] * len(datas)
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _prof = _os.environ.get("ZN_PROFILE")
+    _marks = [("t0", _time.time())]
+
+    def _mark(name):
+        if _prof:
+            _marks.append((name, _time.time()))
+
     hufreg, fsereg = _HufReg(), _FseReg()
     plans = [_parse_frame_impl(d, hufreg, fsereg, sz)
              for d, sz in zip(datas, d_sizes)]
+    _mark('parse')
     use_hints = [_frame_hints_usable(p, fh) for p, fh in zip(plans, hints)]
     hint_of_block: dict[int, object] = {}
     anchored: set[int] = set()
@@ -814,6 +825,7 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
             raise FormatError("huffman literal stream underflow")
         for i, l in enumerate(lanes):
             lit_bytes_of_lane[id(l)] = syms[i, : l.n_out]
+    _mark('huf_lanes')
 
     # --- device pass A': anchored huffman chunks ---
     a_blocks = [bp for p in plans for bp in p.blocks
@@ -866,6 +878,7 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
                          for k in range(cnt)]
                 lit_bytes_of_lane[id(lane)] = np.concatenate(parts) \
                     if parts else np.zeros(0, np.uint8)
+    _mark('huf_anchored')
 
     # --- device pass B: sequence sections ---
     seq_blocks = [bp for p in plans for bp in p.blocks
@@ -898,6 +911,7 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
         for i, bp in enumerate(seq_blocks):
             seq_results[id(bp)] = (lls[i, : bp.n_seq], mls[i, : bp.n_seq],
                                    offs[i, : bp.n_seq], rep_fin[i])
+    _mark('fse_lanes')
 
     # --- device pass B': anchored sequence chunks ---
     sa_blocks = [bp for p in plans for bp in p.blocks
@@ -960,6 +974,7 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
                                   for k in range(cnt)])
             seq_results[id(bp)] = (ll, ml, off,
                                    np.array([1, 4, 8], np.int32))
+    _mark('fse_anchored')
 
     # --- host: assemble per-frame pools + sequence arrays ---
     frames_exec = []
@@ -1053,6 +1068,7 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
             raise FormatError(
                 f"frame regenerated {out_pos} != declared {p.content_size}")
 
+    _mark('pool_assembly')
     # --- device pass C: execution ---
     # Preferred: the SMEM block executor (ops/pallas_match.py) — scalar
     # byte loops against a 256 KiB output ring, one grid step per block.
@@ -1072,7 +1088,10 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
         BLp = max(8, _ceil_pow2(BL))
         LW = zf.BLOCK_MAX // 4
         lit_words = np.zeros((BLp, LW), np.int32)
-        S2 = SCAP + 1
+        # sequence arrays sized to the batch's actual worst block (+1 for
+        # the trailing-literals pseudo-sequence), not the 8K eligibility cap
+        S2 = max(64, _ceil_pow2(1 + max(
+            (len(r[2]) for r in block_recs), default=1)))
         lla = np.zeros((BLp, S2), np.int32)
         mla = np.zeros((BLp, S2), np.int32)
         offa = np.ones((BLp, S2), np.int32)
@@ -1095,9 +1114,11 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
                 ns += 1
             meta[i] = (ns, content, d_off)
         from libzseek_tpu.ops.pallas_match import execute_blocks_smem
+        _mark('exec_setup')
         outw = np.asarray(execute_blocks_smem(
             jnp.asarray(lit_words), jnp.asarray(lla), jnp.asarray(mla),
             jnp.asarray(offa), jnp.asarray(meta)))
+        _mark('exec_smem')
         results: list[bytes] = []
         cursor = 0
         for p in plans:
@@ -1112,6 +1133,10 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
                 raise FormatError(
                     f"frame regenerated {len(res)} != declared "
                     f"{p.content_size}")
+        if _prof:
+            line = ' | '.join(f'{n} {t1 - t0:.3f}s' for (_, t0), (n, t1)
+                              in zip(_marks, _marks[1:]))
+            print(f'[ZN_PROFILE decode] {line}', file=_sys.stderr)
         return results
 
     B = len(frames_exec)
