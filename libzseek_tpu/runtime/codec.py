@@ -73,39 +73,20 @@ class LZ4Codec:
             for s in range(0, n, BLOCK):
                 spans.append((fi, s, min(BLOCK, n - s)))
         comp_payloads: list[bytes | None] = [None] * len(spans)
+        # 2-deep pipeline: batch k+1 uploads/dispatches before batch k's
+        # results are fetched
+        pending: list[tuple[int, int, tuple]] = []
         for lo in range(0, len(spans), self.max_batch_blocks):
             chunk = spans[lo: lo + self.max_batch_blocks]
             B = len(chunk)
-            # pad rows to a power of two: every archive size then reuses a
-            # handful of compiled shapes
-            Bp = max(8, 1 << max(0, (B - 1).bit_length()))
-            X = np.zeros((Bp, ctx + BLOCK), np.uint8)
-            lens = np.zeros((Bp,), np.int32)
-            min_ref = np.zeros((Bp,), np.int32)
-            for i, (fi, s, sz) in enumerate(chunk):
-                X[i, ctx: ctx + sz] = np.frombuffer(frames[fi], np.uint8,
-                                                    sz, s)
-                lens[i] = ctx + sz
-                if ctx:
-                    clen = min(BLOCK, s)  # window available in this frame
-                    if clen:
-                        X[i, ctx - clen: ctx] = np.frombuffer(
-                            frames[fi], np.uint8, clen, s - clen)
-                    min_ref[i] = ctx - clen
-            if self._use_hash_parser():
-                from libzseek_tpu.ops.lz4_encode import lz4_encode_blocks_fast
-                out, olens = lz4_encode_blocks_fast(
-                    jnp.asarray(X), jnp.asarray(lens),
-                    min_ref=jnp.asarray(min_ref), ctx_len=ctx)
-            else:
-                out, olens = lz4_encode_blocks(
-                    jnp.asarray(X), jnp.asarray(lens),
-                    seg_size=self.seg_size, ctx_len=ctx,
-                    min_ref=jnp.asarray(min_ref))
-            out = np.asarray(out)[:B]
-            olens = np.asarray(olens)[:B]
-            for i in range(B):
-                comp_payloads[lo + i] = out[i, : olens[i]].tobytes()
+            pending.append((lo, B, self._dispatch_batch(frames, chunk, ctx)))
+            if len(pending) >= 2:
+                lo0, B0, st = pending.pop(0)
+                for i, payload in enumerate(self._finish_batch(B0, st)):
+                    comp_payloads[lo0 + i] = payload
+        for lo0, B0, st in pending:
+            for i, payload in enumerate(self._finish_batch(B0, st)):
+                comp_payloads[lo0 + i] = payload
         # assemble frames; per block choose compressed vs stored
         out_frames = []
         cursor = 0
@@ -125,6 +106,86 @@ class LZ4Codec:
             out_frames.append(lz4f.assemble_frame(
                 blocks, n, block_independent=self.block_independent))
         return out_frames
+
+    def _dispatch_batch(self, frames, chunk, ctx):
+        """Upload one block batch and dispatch its encode (async)."""
+        B = len(chunk)
+        # pad rows to a power of two: every archive size then reuses a
+        # handful of compiled shapes
+        Bp = max(8, 1 << max(0, (B - 1).bit_length()))
+        if self._use_hash_parser():
+            # fused SMEM parse+emit kernel.  Context is shared, not
+            # duplicated: D rows are the 64 KiB blocks themselves (row 0 =
+            # context of the batch's first block), and each grid step maps
+            # its own row + the previous row, so upload volume equals the
+            # input size.  The live payload bytes are compacted on device
+            # so the fetch moves ~ratio x less than the planes.
+            from libzseek_tpu.ops.pallas_lz4 import lz4_emit_blocks_smem
+            from libzseek_tpu.ops.zstd_encode import compact_payload
+            D = np.zeros((Bp + 1, BLOCK), np.uint8)
+            dlens = np.full((Bp,), BLOCK, np.int32)
+            # min_ref is an ABSOLUTE stream position (the kernel's hash
+            # table persists across rows): row i's window starts at i*BLOCK
+            dminr = (np.arange(Bp, dtype=np.int32) + 1) * BLOCK
+            fi0, s0, _ = chunk[0]
+            if ctx and s0 > 0:
+                D[0] = np.frombuffer(frames[fi0], np.uint8, BLOCK,
+                                     s0 - BLOCK)
+            for i, (fi, s, sz) in enumerate(chunk):
+                D[i + 1, :sz] = np.frombuffer(frames[fi], np.uint8, sz, s)
+                dlens[i] = BLOCK + sz
+                if ctx and s > 0:
+                    dminr[i] = i * BLOCK  # previous row is same-frame
+            cap = lz4_compress_bound(BLOCK)
+            cap += (-cap) % 128
+            interp = jax.devices()[0].platform == "cpu"
+            out, olens = lz4_emit_blocks_smem(
+                jnp.asarray(D), jnp.asarray(dlens), jnp.asarray(dminr),
+                cap, block_bytes=BLOCK, interpret=interp)
+            cap_bytes = sum(lz4_compress_bound(sz) + 8
+                            for _, _, sz in chunk) + 256
+            cap_words = max(1024, 1 << int(cap_bytes // 4).bit_length())
+            dummy = jnp.zeros((Bp, 1), jnp.uint32)
+            zb = jnp.zeros((Bp,), jnp.int32)
+            flat, base_w, _lw = compact_payload(
+                jax.lax.bitcast_convert_type(out, jnp.uint32), olens,
+                dummy, zb, cap_words)
+            meta = jnp.concatenate([olens, base_w,
+                                    jax.lax.bitcast_convert_type(
+                                        flat, jnp.int32)])
+            return ("fused", Bp, meta)
+        X = np.zeros((Bp, ctx + BLOCK), np.uint8)
+        lens = np.zeros((Bp,), np.int32)
+        min_ref = np.zeros((Bp,), np.int32)
+        for i, (fi, s, sz) in enumerate(chunk):
+            X[i, ctx: ctx + sz] = np.frombuffer(frames[fi], np.uint8, sz, s)
+            lens[i] = ctx + sz
+            if ctx:
+                clen = min(BLOCK, s)  # window available in this frame
+                if clen:
+                    X[i, ctx - clen: ctx] = np.frombuffer(
+                        frames[fi], np.uint8, clen, s - clen)
+                min_ref[i] = ctx - clen
+        out, olens = lz4_encode_blocks(
+            jnp.asarray(X), jnp.asarray(lens),
+            seg_size=self.seg_size, ctx_len=ctx,
+            min_ref=jnp.asarray(min_ref))
+        return ("plain", Bp, out, olens)
+
+    def _finish_batch(self, B, staged) -> list[bytes]:
+        """Fetch one batch's results -> per-block payload bytes."""
+        if staged[0] == "fused":
+            _, Bp, meta = staged
+            fetched = np.asarray(meta)
+            olens = fetched[:Bp]
+            base_w = fetched[Bp: 2 * Bp]
+            flat = fetched[2 * Bp:].view(np.uint8)
+            return [flat[4 * int(base_w[i]): 4 * int(base_w[i]) +
+                         int(olens[i])].tobytes() for i in range(B)]
+        _, Bp, out, olens = staged
+        out = np.asarray(out)[:B]
+        olens = np.asarray(olens)[:B]
+        return [out[i, : olens[i]].tobytes() for i in range(B)]
 
     # --- decompress ---
 
