@@ -599,8 +599,7 @@ class ZstdCodec:
                     per = []
                     for s4 in range(4):
                         na = max(0, -(-cnts[s4] // sA) - 1)
-                        per.append([int(v) for v in
-                                    lit_anchors[i, s4, :na]])
+                        per.append(lit_anchors[i, s4, :na].tolist())
                     lit_h = hints.StreamAnchors(sA, per)
             else:
                 lits = lit_rows[i].tobytes() if i in lit_rows else b""
@@ -616,10 +615,9 @@ class ZstdCodec:
                     sA = SEQ_ANCHOR_INTERVAL
                     na = max(0, -(-ns // sA) - 1)
                     seq_h = hints.SeqAnchors(
-                        sA, [int(v) for v in sa_bits[i, :na]],
-                        [tuple(int(x) for x in sa_states[i, k])
-                         for k in range(na)],
-                        [int(v) for v in sa_rep1[i, :na]])
+                        sA, sa_bits[i, :na].tolist(),
+                        sa_states[i, :na].tolist(),
+                        sa_rep1[i, :na].tolist())
             payload = lit_sec + seq_sec
             out.append(payload if len(payload) < int(lens[i]) else None)
             out_h.append(hints.BlockHints(lit_h, seq_h)
