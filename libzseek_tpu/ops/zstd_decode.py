@@ -763,6 +763,19 @@ def _init_seq_states(stream: bytes):
     return pos, (s_ll, s_of, s_ml)
 
 
+
+@jax.jit
+def _scatter_chunks(plane_flat, syms, dst, n, use):
+    """Scatter anchored-chunk symbols (device-resident) into the flat
+    literal byte plane: chunk row r covers plane[dst[r] : dst[r]+n[r])."""
+    L, A = syms.shape
+    col = jnp.arange(A, dtype=jnp.int32)[None, :]
+    idx = dst[:, None] + col
+    mask = (col < n[:, None]) & (use[:, None] > 0)
+    return C.scatter1_set(plane_flat, idx.reshape(1, -1),
+                          syms.reshape(1, -1), mask.reshape(1, -1))
+
+
 def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
                   hints: list | None = None) -> list[bytes]:
     """Decode a batch of zstd frames to their uncompressed bytes.
@@ -828,11 +841,17 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
     _mark('huf_lanes')
 
     # --- device pass A': anchored huffman chunks ---
+    lane_anch: dict[int, tuple[int, int]] = {}   # lane id -> (first, cnt)
+    anch_syms_dev = None
+    anch_c_n = None
+    chunks = []
+    chunk_off = []
     a_blocks = [bp for p in plans for bp in p.blocks
                 if bp.huf_lanes and id(bp) in anchored]
     if a_blocks:
         a_streams: list[_HufLane] = []
         chunks: list[tuple[int, int, int, int]] = []  # (sid, bits, n, tid)
+        chunk_off: list[int] = []                     # dst offset in lane
         stream_chunks: list[tuple[int, int]] = []     # (first_chunk, count)
         A = 0
         for bp in a_blocks:
@@ -849,6 +868,7 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
                             else bh.lit.bitpos[s][k - 1])
                     n = min(Ab, lane.n_out - k * Ab)
                     chunks.append((sid, bits, n, lane.tid))
+                    chunk_off.append(k * Ab)
                 stream_chunks.append((first, n_chunks))
         NS = len(a_streams)
         SB = max(4, _ceil_pow2(max(len(l.stream) for l in a_streams) + 4))
@@ -866,18 +886,30 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
             jnp.asarray(_win32(sbuf).reshape(-1)), SB, jnp.asarray(c_sid),
             jnp.asarray(c_bits), jnp.asarray(c_n), jnp.asarray(c_tid),
             jnp.asarray(hufreg.packed()), A)
-        syms = np.asarray(syms)
         if not np.asarray(ok)[: len(chunks)].all():
             raise FormatError("anchored huffman stream underflow")
-        si = 0
-        for bp in a_blocks:
-            for lane in bp.huf_lanes:
-                first, cnt = stream_chunks[si]
-                si += 1
-                parts = [syms[first + k, : chunks[first + k][2]]
-                         for k in range(cnt)]
-                lit_bytes_of_lane[id(lane)] = np.concatenate(parts) \
-                    if parts else np.zeros(0, np.uint8)
+        if _exec_backend_is_tpu():
+            # defer: symbols stay on device; the SMEM-executor path
+            # scatters them into its literal plane without a host round
+            # trip (the fallback path materializes below)
+            anch_syms_dev = syms
+            anch_c_n = c_n
+            si = 0
+            for bp in a_blocks:
+                for lane in bp.huf_lanes:
+                    lane_anch[id(lane)] = stream_chunks[si]
+                    si += 1
+        else:
+            syms = np.asarray(syms)
+            si = 0
+            for bp in a_blocks:
+                for lane in bp.huf_lanes:
+                    first, cnt = stream_chunks[si]
+                    si += 1
+                    parts = [syms[first + k, : chunks[first + k][2]]
+                             for k in range(cnt)]
+                    lit_bytes_of_lane[id(lane)] = np.concatenate(parts) \
+                        if parts else np.zeros(0, np.uint8)
     _mark('huf_anchored')
 
     # --- device pass B: sequence sections ---
@@ -976,17 +1008,167 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
                                    np.array([1, 4, 8], np.int32))
     _mark('fse_anchored')
 
-    # --- host: assemble per-frame pools + sequence arrays ---
-    frames_exec = []
-    block_recs = []   # (frame_idx, lits, ll, ml, off, content, d_offset)
+    # --- host: per-block records (lengths + sequences; literal BYTES stay
+    # on device for the SMEM executor path) ---
+    def _lit_len(bp):
+        if bp.huf_lanes:
+            return sum(l.n_out for l in bp.huf_lanes)
+        if bp.lit_direct is not None:
+            return len(bp.lit_direct)
+        return 0
+
+    block_recs = []   # (frame_idx, bp, lit_len, ll, ml, off, content, d_off)
     for fi_, p in enumerate(plans):
-        pool_parts: list[np.ndarray] = []
-        seq_ll: list[np.ndarray] = []
-        seq_ml: list[np.ndarray] = []
-        seq_off: list[np.ndarray] = []
         d_off_run = 0
         reps = np.array([1, 4, 8], np.int64)
         for bp in p.blocks:
+            ln = _lit_len(bp)
+            if bp.n_seq > 0:
+                ll, ml, off = seq_results[id(bp)][:3]
+                off = _resolve_tags(off.astype(np.int64), reps)
+                reps = _resolve_tags(
+                    seq_results[id(bp)][3].astype(np.int64), reps)
+                if (off <= 0).any():
+                    raise FormatError("non-positive match offset")
+                covered = int(ll.sum() + ml.sum())
+                trailing = ln - int(ll.sum())
+                if trailing < 0:
+                    raise FormatError("literal pool underrun")
+                bp.content = covered + trailing
+                b_ll, b_ml = ll, ml
+                b_off = off.astype(np.int32)
+            else:
+                bp.content = ln
+                b_ll = b_ml = b_off = np.zeros(0, np.int32)
+            block_recs.append((fi_, bp, ln, b_ll, b_ml, b_off, bp.content,
+                               d_off_run))
+            d_off_run += bp.content
+        if d_off_run != p.content_size:
+            raise FormatError(
+                f"frame regenerated {d_off_run} != declared "
+                f"{p.content_size}")
+    _mark('pool_assembly')
+
+    # --- device pass C: execution ---
+    # Preferred: the SMEM block executor (ops/pallas_match.py) — scalar
+    # byte loops against a 256 KiB output ring, one grid step per block.
+    # Eligibility mirrors its limits (our encoder always qualifies);
+    # ineligible batches use the pointer-doubling XLA executor.
+    SCAP = 8191
+    eligible = _exec_backend_is_tpu() and bool(block_recs)
+    for (fi_, bp, ln, b_ll, b_ml, b_off, content, d_off) in block_recs:
+        if not eligible:
+            break
+        if (len(b_ll) + 1 > SCAP or content > zf.BLOCK_MAX or
+                d_off % 4 != 0 or
+                (len(b_off) and int(b_off.max()) >= (1 << 17))):
+            eligible = False
+
+    if eligible:
+        BL = len(block_recs)
+        BLp = max(8, _ceil_pow2(BL))
+        LW = zf.BLOCK_MAX // 4
+        LW4 = zf.BLOCK_MAX
+        # literal plane: host template carries direct/plain-lane bytes;
+        # anchored huffman symbols are scattered in on DEVICE (they never
+        # visit the host)
+        template = np.zeros((BLp, LW4), np.uint8)
+        Lc = int(anch_syms_dev.shape[0]) if anch_syms_dev is not None else 0
+        a_dst = np.zeros((max(Lc, 1),), np.int32)
+        a_use = np.zeros((max(Lc, 1),), np.int32)
+        # sequence arrays sized to the batch's actual worst block (+1 for
+        # the trailing-literals pseudo-sequence)
+        S2 = max(64, _ceil_pow2(1 + max(
+            (len(r[3]) for r in block_recs), default=1)))
+        lla = np.zeros((BLp, S2), np.int32)
+        mla = np.zeros((BLp, S2), np.int32)
+        offa = np.ones((BLp, S2), np.int32)
+        meta = np.zeros((BLp, 3), np.int32)
+        for i, (fi_, bp, ln, b_ll, b_ml, b_off, content, d_off) in \
+                enumerate(block_recs):
+            poolo = 0
+            if bp.huf_lanes:
+                for lane in bp.huf_lanes:
+                    d = lane_anch.get(id(lane))
+                    if d is None:
+                        lb = lit_bytes_of_lane[id(lane)]
+                        template[i, poolo: poolo + len(lb)] = lb
+                    else:
+                        first, cnt = d
+                        for k in range(cnt):
+                            a_dst[first + k] = i * LW4 + poolo + \
+                                chunk_off[first + k]
+                            a_use[first + k] = 1
+                    poolo += lane.n_out
+            elif bp.lit_direct is not None:
+                template[i, : len(bp.lit_direct)] = np.frombuffer(
+                    bp.lit_direct, np.uint8)
+            ns = len(b_ll)
+            lla[i, :ns] = b_ll
+            mla[i, :ns] = b_ml
+            offa[i, :ns] = b_off
+            covered = int(b_ll.sum() + b_ml.sum()) if ns else 0
+            trail = content - covered
+            if trail > 0:
+                lla[i, ns] = trail
+                ns += 1
+            meta[i] = (ns, content, d_off)
+        plane = jnp.asarray(template).reshape(1, -1)
+        if Lc and a_use.any():
+            plane = _scatter_chunks(plane, anch_syms_dev,
+                                    jnp.asarray(a_dst),
+                                    jnp.asarray(anch_c_n),
+                                    jnp.asarray(a_use))
+        lit_words = jax.lax.bitcast_convert_type(
+            plane.reshape(BLp, LW, 4), jnp.int32)
+        _mark('exec_setup')
+        from libzseek_tpu.ops.pallas_match import execute_blocks_smem
+        outw = np.asarray(execute_blocks_smem(
+            lit_words, jnp.asarray(lla), jnp.asarray(mla),
+            jnp.asarray(offa), jnp.asarray(meta)))
+        _mark('exec_smem')
+        results: list[bytes] = []
+        cursor = 0
+        for p in plans:
+            parts = []
+            for bp in p.blocks:
+                rec = block_recs[cursor]
+                cursor += 1
+                parts.append(outw[cursor - 1].tobytes()[: rec[6]])
+            results.append(b"".join(parts))
+        for res, p in zip(results, plans):
+            if len(res) != p.content_size:
+                raise FormatError(
+                    f"frame regenerated {len(res)} != declared "
+                    f"{p.content_size}")
+        if _prof:
+            line = ' | '.join(f'{n} {t1 - t0:.3f}s' for (_, t0), (n, t1)
+                              in zip(_marks, _marks[1:]))
+            print(f'[ZN_PROFILE decode] {line}', file=_sys.stderr)
+        return results
+
+    # --- fallback: materialize deferred anchored symbols, then run the
+    # pointer-doubling XLA executor over per-frame pools ---
+    if lane_anch:
+        syms_np = np.asarray(anch_syms_dev)
+        for lid, (first, cnt) in lane_anch.items():
+            parts = [syms_np[first + k, : chunks[first + k][2]]
+                     for k in range(cnt)]
+            lit_bytes_of_lane[lid] = np.concatenate(parts) \
+                if parts else np.zeros(0, np.uint8)
+
+    frames_exec = []
+    rec_i = 0
+    for fi_, p in enumerate(plans):
+        pool_parts: list[np.ndarray] = []
+        lit_src_l, lit_len_l, lit_dst_l = [], [], []
+        m_off_l, m_len_l, m_dst_l = [], [], []
+        pool_pos = 0
+        out_pos = 0
+        for bp in p.blocks:
+            rec = block_recs[rec_i]
+            rec_i += 1
+            _, _, ln, b_ll, b_ml, b_off, content, d_off = rec[:8]
             if bp.huf_lanes:
                 lits = np.concatenate(
                     [lit_bytes_of_lane[id(l)] for l in bp.huf_lanes])
@@ -995,46 +1177,9 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
             else:
                 lits = np.zeros(0, np.uint8)
             pool_parts.append(lits)
-            if bp.n_seq > 0:
-                ll, ml, off = seq_results[id(bp)][:3]
-                off = _resolve_tags(off.astype(np.int64), reps)
-                reps = _resolve_tags(
-                    seq_results[id(bp)][3].astype(np.int64), reps)
-                if (off <= 0).any():
-                    raise FormatError("non-positive match offset")
-                seq_ll.append(ll)
-                seq_ml.append(ml)
-                seq_off.append(off.astype(np.int32))
-                covered = int(ll.sum() + ml.sum())
-                trailing = len(lits) - int(ll.sum())
-                if trailing < 0:
-                    raise FormatError("literal pool underrun")
-                bp.content = covered + trailing
-            else:
-                bp.content = len(lits)
-            # per-block record for the SMEM executor path
-            if bp.n_seq > 0:
-                b_ll, b_ml = seq_ll[-1], seq_ml[-1]
-                b_off = seq_off[-1]
-            else:
-                b_ll = b_ml = b_off = np.zeros(0, np.int32)
-            block_recs.append((fi_, lits, b_ll, b_ml, b_off, bp.content,
-                               d_off_run))
-            d_off_run += bp.content
-            # trailing literals of the block are handled frame-wide below
-        pool = (np.concatenate(pool_parts) if pool_parts
-                else np.zeros(0, np.uint8))
-        # frame-wide sequence arrays: blocks in order; after each block's
-        # sequences, its trailing literals form a pseudo-sequence (ml = 0)
-        lit_src_l, lit_len_l, lit_dst_l = [], [], []
-        m_off_l, m_len_l, m_dst_l = [], [], []
-        pool_pos = 0
-        out_pos = 0
-        si = 0
-        for bp in p.blocks:
-            if bp.n_seq > 0:
-                ll, ml, off = seq_ll[si], seq_ml[si], seq_off[si]
-                si += 1
+            ns = len(b_ll)
+            if ns > 0:
+                ll, ml, off = b_ll, b_ml, b_off
                 lsrc = pool_pos + np.cumsum(ll) - ll
                 ldst = out_pos + np.cumsum(ll + ml) - (ll + ml)
                 mdst = ldst + ll
@@ -1049,95 +1194,23 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
             else:
                 consumed_lits = 0
                 covered = 0
-            trail = bp.content - covered
+            trail = content - covered
             if trail > 0:
                 lit_src_l.append(np.array([pool_pos + consumed_lits]))
                 lit_len_l.append(np.array([trail]))
                 lit_dst_l.append(np.array([out_pos + covered]))
                 m_off_l.append(np.array([1]))
                 m_len_l.append(np.array([0]))
-                m_dst_l.append(np.array([out_pos + bp.content]))
+                m_dst_l.append(np.array([out_pos + content]))
             pool_pos += consumed_lits + max(0, trail)
-            out_pos += bp.content
+            out_pos += content
+        pool = (np.concatenate(pool_parts) if pool_parts
+                else np.zeros(0, np.uint8))
         cat = lambda ls: (np.concatenate(ls).astype(np.int32) if ls
                           else np.zeros(0, np.int32))
         frames_exec.append((pool, cat(lit_src_l), cat(lit_len_l),
                             cat(lit_dst_l), cat(m_off_l), cat(m_len_l),
                             cat(m_dst_l), out_pos))
-        if out_pos != p.content_size:
-            raise FormatError(
-                f"frame regenerated {out_pos} != declared {p.content_size}")
-
-    _mark('pool_assembly')
-    # --- device pass C: execution ---
-    # Preferred: the SMEM block executor (ops/pallas_match.py) — scalar
-    # byte loops against a 256 KiB output ring, one grid step per block.
-    # Eligibility mirrors its limits (our encoder always qualifies);
-    # ineligible batches use the pointer-doubling XLA executor.
-    SCAP = 8191
-    eligible = _exec_backend_is_tpu()
-    for (fi_, lits, b_ll, b_ml, b_off, content, d_off) in block_recs:
-        if not eligible:
-            break
-        if (len(b_ll) + 1 > SCAP or content > zf.BLOCK_MAX or
-                d_off % 4 != 0 or
-                (len(b_off) and int(b_off.max()) >= (1 << 17))):
-            eligible = False
-    if eligible and block_recs:
-        BL = len(block_recs)
-        BLp = max(8, _ceil_pow2(BL))
-        LW = zf.BLOCK_MAX // 4
-        lit_words = np.zeros((BLp, LW), np.int32)
-        # sequence arrays sized to the batch's actual worst block (+1 for
-        # the trailing-literals pseudo-sequence), not the 8K eligibility cap
-        S2 = max(64, _ceil_pow2(1 + max(
-            (len(r[2]) for r in block_recs), default=1)))
-        lla = np.zeros((BLp, S2), np.int32)
-        mla = np.zeros((BLp, S2), np.int32)
-        offa = np.ones((BLp, S2), np.int32)
-        meta = np.zeros((BLp, 3), np.int32)
-        for i, (fi_, lits, b_ll, b_ml, b_off, content, d_off) in \
-                enumerate(block_recs):
-            lb = lits.tobytes()
-            lw = np.frombuffer(lb.ljust((len(lb) + 3) // 4 * 4, b"\0"),
-                               np.int32)
-            lit_words[i, : len(lw)] = lw
-            ns = len(b_ll)
-            lla[i, :ns] = b_ll
-            mla[i, :ns] = b_ml
-            offa[i, :ns] = b_off
-            covered = int(b_ll.sum() + b_ml.sum()) if ns else 0
-            consumed = int(b_ll.sum()) if ns else 0
-            trail = content - covered
-            if trail > 0:
-                lla[i, ns] = trail
-                ns += 1
-            meta[i] = (ns, content, d_off)
-        from libzseek_tpu.ops.pallas_match import execute_blocks_smem
-        _mark('exec_setup')
-        outw = np.asarray(execute_blocks_smem(
-            jnp.asarray(lit_words), jnp.asarray(lla), jnp.asarray(mla),
-            jnp.asarray(offa), jnp.asarray(meta)))
-        _mark('exec_smem')
-        results: list[bytes] = []
-        cursor = 0
-        for p in plans:
-            parts = []
-            for bp in p.blocks:
-                rec = block_recs[cursor]
-                cursor += 1
-                parts.append(outw[cursor - 1].tobytes()[: rec[5]])
-            results.append(b"".join(parts))
-        for res, p in zip(results, plans):
-            if len(res) != p.content_size:
-                raise FormatError(
-                    f"frame regenerated {len(res)} != declared "
-                    f"{p.content_size}")
-        if _prof:
-            line = ' | '.join(f'{n} {t1 - t0:.3f}s' for (_, t0), (n, t1)
-                              in zip(_marks, _marks[1:]))
-            print(f'[ZN_PROFILE decode] {line}', file=_sys.stderr)
-        return results
 
     B = len(frames_exec)
     F = max(1, _ceil_pow2(max(fe[7] for fe in frames_exec)))
