@@ -38,7 +38,7 @@ DEFAULT_CACHE_FRAMES = 8
 
 class Reader:
     def __init__(self, source, *, cache_frames: int = DEFAULT_CACHE_FRAMES,
-                 codec=None, level: int | None = None):
+                 codec=None, level: int | None = None, readahead: int = 8):
         if isinstance(source, (bytes, bytearray, memoryview)):
             source = zio.BytesIOSource(bytes(source))
         if not hasattr(source, "pread"):
@@ -64,6 +64,11 @@ class Reader:
         self._lock = threading.RLock()
         self._pos = 0
         self._closed = False
+        # sequential-miss readahead: consecutive frame misses batch the
+        # next `readahead` frames into one device decode (frames are rows
+        # of one batched program; per-frame calls waste the batch axis)
+        self._readahead = max(1, readahead)
+        self._last_miss = -2
         self._hints = self._load_hints() \
             if getattr(self._codec, "supports_hints", False) else None
 
@@ -209,19 +214,34 @@ class Reader:
                 hit = self._cache.find(idx)
             if hit is not None:
                 return hit
-        data = self._read_frame_bytes(idx)
+        # batch ahead on a sequential miss streak
+        streak = idx == self._last_miss + 1
+        self._last_miss = idx
+        count = 1
+        if streak and self._cache is not None:
+            count = min(self._readahead, self._table.num_frames - idx,
+                        max(1, self._cache.capacity))
+        idxs = [idx]
+        for j in range(idx + 1, idx + count):
+            with self._lock:
+                if self._cache is not None and \
+                        self._cache.find(j) is not None:
+                    break
+            idxs.append(j)
+        datas = [self._read_frame_bytes(i) for i in idxs]
+        d_sizes = [self._table.frame_d_size(i) for i in idxs]
         if self._hints is not None:
-            frame = self._codec.decompress_frame(
-                data, self._table.frame_d_size(idx), self._frame_hints(idx))
+            frames = self._codec.decompress_frames(
+                datas, d_sizes, [self._frame_hints(i) for i in idxs])
         else:
-            frame = self._codec.decompress_frame(
-                data, self._table.frame_d_size(idx))
+            frames = self._codec.decompress_frames(datas, d_sizes)
         if self._cache is not None:
             with self._lock:
                 # double-checked: a concurrent reader may have inserted it
-                if self._cache.find(idx) is None:
-                    self._cache.insert(idx, frame)
-        return frame
+                for i, fr in zip(idxs, frames):
+                    if self._cache.find(i) is None:
+                        self._cache.insert(i, fr)
+        return frames[0]
 
     def __enter__(self):
         return self
