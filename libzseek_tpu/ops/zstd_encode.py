@@ -59,6 +59,16 @@ def ml_code_dev(ml):
     return jnp.where(base > 127, _exp_of(jnp.maximum(base, 1)) + 36, small)
 
 
+
+def _const_byte(x, lengths, in_range):
+    """Per-row constant-block detector: byte value if every in-range byte
+    equals the first, else -1 (zstd RLE block candidates)."""
+    nonconst = jnp.sum(((x != x[:, :1]) & in_range).astype(jnp.int32),
+                       axis=1)
+    return jnp.where((nonconst == 0) & (lengths > 0),
+                     x[:, 0].astype(jnp.int32), jnp.int32(-1))
+
+
 @partial(jax.jit, static_argnames=("seg_size", "max_len", "max_back",
                                    "max_offset", "dual", "window"))
 def zstd_sequences(x: jnp.ndarray, lengths: jnp.ndarray, *,
@@ -127,7 +137,8 @@ def zstd_sequences(x: jnp.ndarray, lengths: jnp.ndarray, *,
     hist = C.hist256(x, is_lit)
     return dict(ll=ll, ml=ml, offv=offv, n_seq=n_seq,
                 last_literals=last_literals, literals=literals,
-                lit_count=lit_count, hist=hist)
+                lit_count=lit_count, hist=hist,
+                const=_const_byte(x, lengths, in_range))
 
 
 @partial(jax.jit, static_argnames=("out_bytes", "anchor_interval",
@@ -436,7 +447,8 @@ def _fast_post(x, lengths, ll, ml, offv, n_seq, cover, cap: int):
     hist = C.hist256(x, is_lit)
     return dict(ll=ll2, ml=ml2, offv=off2, n_seq=n2,
                 last_literals=lengths - cover2, literals=literals,
-                lit_count=lit_count, hist=hist)
+                lit_count=lit_count, hist=hist,
+                const=_const_byte(x, lengths, in_range))
 
 
 @partial(jax.jit, static_argnames=("cap",))
@@ -485,7 +497,8 @@ def _fast_post_nolit(x, lengths, ll, ml, offv, n_seq, cover, cap: int):
     hist = C.hist256(x, is_lit)
     return dict(ll=ll2, ml=ml2, offv=off2, n_seq=n2,
                 last_literals=lengths - cover2,
-                lit_count=lit_count, hist=hist)
+                lit_count=lit_count, hist=hist,
+                const=_const_byte(x, lengths, in_range))
 
 
 @partial(jax.jit, static_argnames=())

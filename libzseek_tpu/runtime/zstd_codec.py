@@ -183,7 +183,11 @@ class ZstdCodec:
                 bh = block_hints[cursor]
                 cursor += 1
                 last = b == nblocks - 1
-                if payload is None or len(payload) >= sz:
+                if isinstance(payload, tuple):   # ("rle", byte)
+                    body += zf.build_block_header(zf.BLOCK_RLE, sz, last)
+                    body += bytes([payload[1]])
+                    fhints.append(None)
+                elif payload is None or len(payload) >= sz:
                     body += zf.build_block_header(zf.BLOCK_RAW, sz, last)
                     body += bytes(fr[s: s + sz])
                     fhints.append(None)
@@ -259,11 +263,13 @@ class ZstdCodec:
         # one packed fetch: every device->host transfer pays a round trip
         # (expensive through a tunneled TPU), so small arrays travel as one
         packed = np.asarray(jnp.concatenate([
-            seqs["hist"].reshape(-1), seqs["lit_count"], seqs["n_seq"]]))
+            seqs["hist"].reshape(-1), seqs["lit_count"], seqs["n_seq"],
+            seqs["const"]]))
         mark('packed_fetch')
         hist = packed[: Bp * 256].reshape(Bp, 256)[:B]
         lit_count = packed[Bp * 256: Bp * 256 + Bp][:B]
-        n_seq = packed[Bp * 256 + Bp:][:B]
+        n_seq = packed[Bp * 256 + Bp: Bp * 256 + 2 * Bp][:B]
+        const = packed[Bp * 256 + 2 * Bp:][:B]
         nmax = int(n_seq.max()) if B else 0
         smax = max(16, 1 << max(0, (nmax - 1)).bit_length())
         smax = min(smax, seqs["ll"].shape[1])
@@ -277,7 +283,8 @@ class ZstdCodec:
                 x_dev, jnp.asarray(lens_pad), seqs["ll"], seqs["ml"],
                 seqs["n_seq"])
         modes, trees, ests, code_vals, code_bits = self._decide_modes(
-            hist, lit_count, n_seq, lens, Bp, exact=not use_smem)
+            hist, lit_count, n_seq, lens, Bp, exact=not use_smem,
+            const=const)
         mark('host_tables')
         if use_smem:
             ent = self._entropy_smem(seqs, x_dev, lens, lit_count, n_seq,
@@ -288,7 +295,7 @@ class ZstdCodec:
                                     trees, ests, code_vals, code_bits,
                                     smax, mark)
         out = self._assemble(B, lens, lit_count, n_seq, hist, modes, trees,
-                             ent)
+                             ent, const=const)
         mark('assemble')
         if prof:
             import sys
@@ -297,7 +304,8 @@ class ZstdCodec:
             print(f'[ZN_PROFILE finish] {line}', file=sys.stderr)
         return out
 
-    def _decide_modes(self, hist, lit_count, n_seq, lens, Bp, exact):
+    def _decide_modes(self, hist, lit_count, n_seq, lens, Bp, exact,
+                      const=None):
         """Per-block literal-section mode decisions + Huffman tables.
 
         modes: "none" | "rle" | "raw" | "huf" | "skip" ("skip" = the block
@@ -320,6 +328,9 @@ class ZstdCodec:
             lc = int(lit_count[i])
             blen = int(lens[i])
             nz = np.count_nonzero(hist[i])
+            if const is not None and blen > 4 and const[i] >= 0:
+                modes[i] = "rleblock"   # whole block = one repeated byte
+                continue
             if lc == 0:
                 modes[i] = "none"
                 continue
@@ -560,7 +571,8 @@ class ZstdCodec:
                     sa_states=sa_states, sa_rep1=sa_rep1, lit_rows=lit_rows,
                     modes=modes)
 
-    def _assemble(self, B, lens, lit_count, n_seq, hist, modes, trees, ent):
+    def _assemble(self, B, lens, lit_count, n_seq, hist, modes, trees, ent,
+                  const=None):
         """Build per-block payloads + decode hints from fetched streams."""
         sizes4 = ent["sizes4"]
         seq_sizes = ent["seq_sizes"]
@@ -578,6 +590,10 @@ class ZstdCodec:
             lc = int(lit_count[i])
             if modes[i] == "skip":
                 out.append(None)
+                out_h.append(None)
+                continue
+            if modes[i] == "rleblock":
+                out.append(("rle", int(const[i])))
                 out_h.append(None)
                 continue
             lit_h = None

@@ -78,3 +78,18 @@ def test_ratio_not_worse_than_golden(cases):
         g = golden.zstd_compress(raw, level=3)
         assert len(fr) <= max(len(g) * 1.05, len(g) + 16), \
             (name, len(fr), len(g))
+
+
+def test_rle_blocks_for_constant_data():
+    """Constant blocks must be emitted as zstd RLE blocks (block type 1),
+    within ~2x of libzstd's size for all-zeros input, and decode bit-exact
+    through the stock library."""
+    data = bytes(2 << 20)
+    codec = ZstdCodec()
+    frames = codec.compress_frames([data])
+    g = golden.zstd_compress(data, level=3)
+    total = sum(len(f) for f in frames)
+    assert total <= 2 * len(g) + 64, (total, len(g))
+    assert golden.zstd_frame_decompress(frames[0], len(data)) == data
+    # round-trips through our own decoder too
+    assert codec.decompress_frames(frames, [len(data)])[0] == data
