@@ -173,6 +173,211 @@ def hash_parse_blocks_smem(x: jnp.ndarray, lengths: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Linked-block zstd parse: persistent hash table + in-kernel gate
+#
+# hash_parse_blocks_smem treats every 128 KiB block in isolation: the hash
+# table is re-zeroed each grid step (~0.8 ms of the ~1.6 ms budget) and
+# matches cannot reach the previous block, and its raw matches still need an
+# XLA gate/recompaction midstage.  This kernel mirrors the fused LZ4 kernel:
+# the table persists across grid steps with absolute batch positions, each
+# grid step maps its own row and the preceding row of the same array (the
+# previous block of the frame, linked-block context), and the entropy
+# profitability gate (same cost model as zstd_encode._fast_post) runs on
+# each candidate in-kernel so the emitted sequences are final.
+#
+# Reference counterpart: ZSTD_compressBlock_fast in its multi-block
+# windowed form (the reference's zstd frames are windowed streams,
+# /root/reference/src/compress.c:653-702).
+# ---------------------------------------------------------------------------
+
+
+def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
+                         off_ref, n_ref, table_ref, *, cap: int,
+                         max_offset: int, hash_log: int, block_bytes: int,
+                         gate_bits: int, min_match: int):
+    CW = prev_ref.shape[2]          # words per block
+    NW = cur_ref.shape[2]
+    tab_size = 1 << hash_log
+    shift = np.uint32(32 - hash_log)
+
+    b = pl.program_id(0)
+    base = b * block_bytes          # absolute position of the window start
+
+    @pl.when(b == 0)
+    def _():
+        def zb(i, _):
+            table_ref[i] = -1
+            return 0
+
+        jax.lax.fori_loop(0, tab_size, zb, 0)
+
+    blen = meta_ref[0, 0, 0]        # current block length
+    min_abs = meta_ref[0, 0, 1]     # first referenceable absolute position
+    h16 = meta_ref[0, 0, 2]         # block byte entropy * 16 (gate)
+    # window coords: [0, 4*CW) = previous block, [4*CW, 4*CW+blen) = this one
+    limit = block_bytes + blen - 12
+
+    def word(q):
+        inprev = q < CW
+        pw = prev_ref[0, 0, jnp.minimum(q, CW - 1)]
+        cw = cur_ref[0, 0, jnp.clip(q - CW, 0, NW - 1)]
+        return jnp.where(inprev, pw, cw)
+
+    def byte(i):
+        return (word(i >> 2) >> ((i & 3) * 8)) & 0xFF
+
+    def w32(i):
+        q = i >> 2
+        sh = ((i & 3) * 8).astype(jnp.uint32)
+        lo = word(q).astype(jnp.uint32)
+        hi = word(q + 1).astype(jnp.uint32)
+        v = (lo >> sh) | jnp.where(
+            sh == 0, jnp.uint32(0), hi << (jnp.uint32(32) - sh))
+        return v.astype(jnp.int32)
+
+    # single-ref fast path for positions in the current block
+    def byte_c(i):
+        j = i - block_bytes
+        return (cur_ref[0, 0, j >> 2] >> ((j & 3) * 8)) & 0xFF
+
+    def w32_c(i):
+        j = i - block_bytes
+        q = j >> 2
+        sh = ((j & 3) * 8).astype(jnp.uint32)
+        lo = cur_ref[0, 0, q].astype(jnp.uint32)
+        hi = cur_ref[0, 0, jnp.minimum(q + 1, NW - 1)].astype(jnp.uint32)
+        v = (lo >> sh) | jnp.where(
+            sh == 0, jnp.uint32(0), hi << (jnp.uint32(32) - sh))
+        return v.astype(jnp.int32)
+
+    def extend(ip, cand):
+        # source may start in the previous block (cross-block match); the
+        # probe side (ip) is always in the current block
+        lim = block_bytes + blen
+
+        def wcond(l):
+            return (ip + l + 4 <= lim) & (w32_c(ip + l) == w32(cand + l))
+
+        l = jax.lax.while_loop(wcond, lambda l: l + 4, jnp.int32(4))
+        for _ in range(3):
+            ok = (ip + l < lim) & (byte_c(ip + l) == byte(cand + l))
+            l = l + ok
+        return l
+
+    def body(state):
+        # single branch per probe (scalar branches cost ~a probe each);
+        # the profitability gate is a select inside the match arm
+        ip, anchor, cnt, miss = state
+        w = w32_c(ip)
+        h = ((w.astype(jnp.uint32) * PRIME) >> shift).astype(jnp.int32)
+        cand_abs = table_ref[h]
+        table_ref[h] = base + ip
+        dist = base + ip - cand_abs
+        cand = cand_abs - base      # window position (>= 0 when usable)
+        good = (cand_abs >= min_abs) & (dist <= max_offset) & (cnt < cap)
+        good = good & (w32(jnp.clip(cand, 0, 8 * CW)) == w)
+
+        def do_match(_):
+            l = extend(ip, cand)
+            # keep the table alive across the matched span: without these
+            # the next block has nothing in-window to match after a long
+            # run (the 128K offset cap excludes the previous block's head),
+            # re-paying the literal intro every block on periodic data
+            def ins(k, _):
+                p = ip + (k << 5)
+                w2 = w32_c(p)
+                h2 = ((w2.astype(jnp.uint32) * PRIME)
+                      >> shift).astype(jnp.int32)
+                table_ref[h2] = base + p
+                return 0
+
+            jax.lax.fori_loop(1, l >> 5, ins, 0)
+            pe_ = ip + l - 2
+            we = w32_c(pe_)
+            he = ((we.astype(jnp.uint32) * PRIME) >> shift).astype(jnp.int32)
+            table_ref[he] = base + pe_
+            # profitability gate: a sequence costs ~gate_bits state/extra
+            # bits + log2(offset_value) offset bits vs ~H bits/literal
+            # byte; min_match mirrors zstd level 3's cParams.minMatch.
+            # Branch-free: gated-out matches write to slot cnt anyway (the
+            # next survivor overwrites) and just don't advance cnt/anchor.
+            ebits = 31 - jax.lax.clz(dist + 3)
+            keep = (l >= min_match) & (l * h16 > (gate_bits + ebits) * 16)
+            ll_ref[0, 0, cnt] = ip - anchor
+            ml_ref[0, 0, cnt] = l
+            off_ref[0, 0, cnt] = dist + 3
+            return (ip + l, jnp.where(keep, ip + l, anchor),
+                    cnt + keep, jnp.int32(0))
+
+        def do_miss(_):
+            return ip + 1 + (miss >> 6), anchor, cnt, miss + 1
+
+        return jax.lax.cond(good, do_match, do_miss, None)
+
+    ip0 = jnp.int32(block_bytes)
+    ip, anchor, cnt, miss = jax.lax.while_loop(
+        lambda s: s[0] < limit, body,
+        (ip0, ip0, jnp.int32(0), jnp.int32(0)))
+    n_ref[0, 0, 0] = cnt
+    n_ref[0, 0, 1] = anchor - block_bytes   # cover end, block-relative
+
+
+@partial(jax.jit, static_argnames=("cap", "max_offset", "hash_log",
+                                   "gate_bits", "min_match", "interpret"))
+def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
+                           min_abs: jnp.ndarray, h16: jnp.ndarray,
+                           cap: int = 8192,
+                           max_offset: int = (1 << 17) - 1,
+                           hash_log: int = 15,
+                           gate_bits: int = 14, min_match: int = 5,
+                           interpret: bool = False):
+    """Linked-block gated zstd parse.
+
+    x2: (B+1, N) uint8 — row r+1 is block r, row r its context (the frame's
+    previous block, or anything when min_abs excludes it).  lengths (B,);
+    min_abs (B,) absolute first referenceable position, where block r's
+    bytes occupy absolute [(r+1)*N, (r+1)*N + lengths[r]); h16 (B,) block
+    byte entropy in 1/16 bits (the gate's cost scale).  Returns
+    (ll, ml, offv, n_seq, cover_end) with the gate already applied — ll/ml
+    are final sequence fields (ll = literal run before the match)."""
+    B1, N = x2.shape
+    B = B1 - 1
+    NW = N // 4
+    words = jax.lax.bitcast_convert_type(
+        x2.reshape(B1, NW, 4), jnp.int32)
+    kernel = partial(_parse_linked_kernel, cap=cap, max_offset=max_offset,
+                     hash_log=hash_log, block_bytes=N,
+                     gate_bits=gate_bits, min_match=min_match)
+
+    def smem(shape, shift=0):
+        return pl.BlockSpec(memory_space=pltpu.SMEM,
+                            block_shape=(1,) + shape[1:],
+                            index_map=lambda b: (b + shift,) + (0,) *
+                            (len(shape) - 1))
+
+    meta = jnp.stack([lengths.astype(jnp.int32), min_abs.astype(jnp.int32),
+                      h16.astype(jnp.int32)], axis=1)
+    ll, ml, off, nn = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[smem((B1, 1, NW)), smem((B1, 1, NW), shift=1),
+                  smem((B, 1, 3))],
+        out_specs=[smem((B, 1, cap)), smem((B, 1, cap)), smem((B, 1, cap)),
+                   smem((B, 1, 2))],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, cap), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, cap), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, cap), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 2), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1 << hash_log,), jnp.int32)],
+        interpret=interpret,
+    )(words.reshape(B1, 1, NW), words.reshape(B1, 1, NW),
+      meta.reshape(B, 1, 3))
+    return (ll[:, 0], ml[:, 0], off[:, 0], nn[:, 0, 0], nn[:, 0, 1])
+
+
+# ---------------------------------------------------------------------------
 # SMEM sequence executor (decode side)
 #
 # Sequence execution is the decode wall in XLA form (pointer-doubling

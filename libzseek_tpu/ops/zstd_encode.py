@@ -30,6 +30,14 @@ from libzseek_tpu.ops import common as C
 from libzseek_tpu.ops import fse
 from libzseek_tpu.ops import match as M
 
+# Fixed per-sequence bit cost assumed by the profitability gates: three
+# predefined-FSE state updates (~4-6 bits each) + LL/ML extra bits (usually
+# 0); the offset's extra bits are added per candidate.  Override with
+# ZN_GATE_BITS for ratio experiments.
+import os as _os
+
+GATE_FIXED_BITS = int(_os.environ.get("ZN_GATE_BITS", "14"))
+
 # --- small constant code tables (device-resident) ---
 _LL_CODE_TAB64 = np.searchsorted(zf._LL_BASE, np.arange(64), side="right") - 1
 _ML_CODE_TAB128 = np.searchsorted(zf._ML_BASE, np.arange(3, 131), side="right") - 1
@@ -553,6 +561,63 @@ def compact_payload(lit_words: jnp.ndarray, lit_bytes: jnp.ndarray,
                           seq_words.reshape(1, -1),
                           (colS < sw[:, None]).reshape(1, -1))
     return flat[0], base, lw
+
+
+@jax.jit
+def block_entropy_h16(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Per-row byte entropy in 1/16-bit fixed point, clipped to [1, 8] bits
+    — the in-kernel profitability gate's cost scale.  Sampled 1-in-4 (the
+    gate is a clipped heuristic; see _fast_post_nolit)."""
+    B, N = x.shape
+    pos = jnp.broadcast_to(np.arange(0, N, 4, dtype=np.int32)[None, :],
+                           (B, N // 4))
+    in_range = pos < lengths[:, None]
+    hist = C.hist256(x[:, ::4], in_range)
+    pr = hist.astype(jnp.float32) / jnp.maximum(
+        jnp.sum(hist, axis=1, keepdims=True).astype(jnp.float32), 1.0)
+    H = -jnp.sum(jnp.where(pr > 0, pr * jnp.log2(jnp.maximum(pr, 1e-9)),
+                           0.0), axis=1)
+    return jnp.round(jnp.clip(H, 1.0, 8.0) * 16.0).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _linked_post(x, lengths, ll, ml, offv, n_seq, cover, cap: int):
+    """XLA tail of the linked gated parse: the sequences are already final
+    (the gate ran in-kernel), so only the literal statistics remain —
+    coverage mask, literal count, literal histogram, RLE-block detection."""
+    B, N = x.shape
+    seq_end = jnp.cumsum(ll + ml, axis=1)
+    seq_start = seq_end - ml
+    idxs = jnp.broadcast_to(np.arange(cap, dtype=np.int32)[None, :], (B, cap))
+    valid = idxs < n_seq[:, None]
+    pos = jnp.broadcast_to(np.arange(N, dtype=np.int32)[None, :], (B, N))
+    in_range = pos < lengths[:, None]
+    in_match = C.fill_regions(N, seq_start, seq_end, valid)
+    is_lit = (~in_match) & in_range
+    lit_count = jnp.sum(is_lit.astype(jnp.int32), axis=1)
+    hist = C.hist256(x, is_lit)
+    return dict(ll=jnp.where(valid, ll, 0), ml=jnp.where(valid, ml, 0),
+                offv=jnp.where(valid, offv, 0), n_seq=n_seq,
+                last_literals=lengths - cover,
+                lit_count=lit_count, hist=hist,
+                const=_const_byte(x, lengths, in_range))
+
+
+def zstd_sequences_linked(x2: jnp.ndarray, lengths: jnp.ndarray,
+                          min_abs: jnp.ndarray, interpret: bool = False):
+    """Linked-block gated parse (ops/pallas_match.zstd_parse_linked_smem):
+    persistent hash table across the batch, cross-block matches, and the
+    profitability gate applied in-kernel.  x2 is the shifted block array
+    (row r+1 = block r, row r = its context); same output contract as
+    zstd_sequences (arrays align with x2[1:])."""
+    from libzseek_tpu.ops.pallas_match import zstd_parse_linked_smem
+    x = jax.lax.slice_in_dim(x2, 1, x2.shape[0], axis=0)
+    h16 = block_entropy_h16(x, lengths)
+    ll, ml, offv, n_seq, cover = zstd_parse_linked_smem(
+        x2, lengths, min_abs, h16, gate_bits=GATE_FIXED_BITS,
+        interpret=interpret)
+    return _linked_post(x, lengths, ll, ml, offv, n_seq, cover,
+                        cap=ll.shape[1])
 
 
 def zstd_sequences_fast(x: jnp.ndarray, lengths: jnp.ndarray):

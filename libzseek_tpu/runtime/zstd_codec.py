@@ -119,15 +119,17 @@ class ZstdCodec:
         # "xla" force a path (smem on CPU runs in interpret mode, tests)
         self.entropy = entropy
 
-    def _use_hash_parser(self) -> bool:
-        if self.parser == "hash":
-            return True
-        if self.parser == "sort":
-            return False
+    def _parser_kind(self) -> str:
+        """"linked" (persistent-table gated SMEM kernel, the TPU default),
+        "hash" (per-block SMEM kernel), or "sort" (exact XLA pipeline, the
+        CPU/test default)."""
+        if self.parser in ("linked", "hash", "sort"):
+            return self.parser
         try:
-            return jax.devices()[0].platform != "cpu"
+            return "linked" if jax.devices()[0].platform != "cpu" \
+                else "sort"
         except Exception:
-            return False
+            return "sort"
 
     # --- compress ---
 
@@ -205,25 +207,55 @@ class ZstdCodec:
         raw), per-block decode hints (None when disabled/not applicable))."""
         return self._finish_blocks(self._dispatch_parse(blocks))
 
-    def _dispatch_parse(self, blocks: list[np.ndarray]):
+    def _dispatch_parse(self, blocks: list[np.ndarray],
+                        first_flags: list[bool] | None = None):
         """Stage 1 (async): upload the batch and dispatch the LZ77 parse.
         The batch is padded to a power-of-two row count so every archive
         size reuses a handful of compiled shapes (first compiles cost tens
-        of seconds through a tunneled TPU)."""
+        of seconds through a tunneled TPU).
+
+        first_flags[i] marks block i as the first block of its frame; the
+        linked parser lets later blocks match back into the preceding row
+        (zstd's window), so frame starts — and batch starts, whose context
+        lives in the previous batch — must be fenced off."""
         B = len(blocks)
         Bp = max(8, 1 << max(0, (B - 1).bit_length()))
         N = BLOCK
+        parser = self._parser_kind()
+        import os as _os
+        import sys as _sys
+        import time as _time
+        _t0 = _time.time()
+        if parser == "linked":
+            X = np.zeros((Bp + 1, N), np.uint8)
+            lens = np.zeros((Bp,), np.int32)
+            min_abs = np.zeros((Bp,), np.int32)
+            for i, blk in enumerate(blocks):
+                X[i + 1, : len(blk)] = blk
+                lens[i] = len(blk)
+                first = (first_flags is None or first_flags[i] or i == 0
+                         or len(blocks[i - 1]) < N)
+                min_abs[i] = (i + 1) * N if first else i * N
+            for i in range(B, Bp):
+                min_abs[i] = (i + 1) * N
+            from libzseek_tpu.ops.zstd_encode import zstd_sequences_linked
+            X2d = jnp.asarray(X)
+            interp = jax.devices()[0].platform == "cpu"
+            seqs = zstd_sequences_linked(X2d, jnp.asarray(lens),
+                                         jnp.asarray(min_abs),
+                                         interpret=interp)
+            Xd = jax.lax.slice_in_dim(X2d, 1, Bp + 1, axis=0)
+            if _os.environ.get("ZN_PROFILE"):
+                print(f"[ZN_PROFILE dispatch] {_time.time() - _t0:.3f}s",
+                      file=_sys.stderr)
+            return seqs, lens[:B], Xd, lens
         X = np.zeros((Bp, N), np.uint8)
         lens = np.zeros((Bp,), np.int32)
         for i, blk in enumerate(blocks):
             X[i, : len(blk)] = blk
             lens[i] = len(blk)
-        import os as _os
-        import sys as _sys
-        import time as _time
-        _t0 = _time.time()
         Xd = jnp.asarray(X)
-        if self._use_hash_parser():
+        if parser == "hash":
             if self.entropy in ("auto", "smem"):
                 from libzseek_tpu.ops.zstd_encode import \
                     zstd_sequences_fast_nolit
@@ -680,7 +712,8 @@ class _ZstdStream:
             chunk = spans[lo: lo + codec.max_batch_blocks]
             g["batches"].append((lo, codec._dispatch_parse(
                 [np.frombuffer(frames[fi], np.uint8, sz, s)
-                 for fi, s, sz in chunk])))
+                 for fi, s, sz in chunk],
+                first_flags=[s == 0 for _, s, _ in chunk])))
             self._inflight += 1
         self._groups.append(g)
         return self._drain(self._depth)
