@@ -39,6 +39,8 @@ from libzseek_tpu.ops import fse
 MODE_HUF = 1      # emit 4-stream Huffman literal section payload
 MODE_RAWLIT = 2   # emit the literal bytes verbatim (forward copy)
 MODE_SEQ = 4      # emit the FSE sequence stream
+MODE_HUF1 = 8     # with MODE_HUF: single-stream layout (small literal
+                  # sets; saves the 6-byte jump table like HUF_compress1X)
 
 LIT_ANCHOR_INTERVAL = 512   # literals per stream anchor (pow2)
 SEQ_ANCHOR_INTERVAL = 128   # sequences per anchor (pow2)
@@ -153,40 +155,58 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs,
         def _():
             ref[0, 0, w] = buf
 
-    # --- Huffman 4-stream literal payload ---
+    # --- Huffman literal payload: 4-stream, or 1-stream (MODE_HUF1) ---
     @pl.when((mode & MODE_HUF) != 0)
     def _():
-        s = (lc + 3) >> 2
+        one = (mode & MODE_HUF1) != 0
+        s = jnp.where(one, lc, (lc + 3) >> 2)
         byte_base = jnp.int32(0)
         for s4 in range(4):
-            cnt = s if s4 < 3 else lc - 3 * s
+            if s4 == 0:
+                cnt = s
+            elif s4 < 3:
+                cnt = jnp.where(one, 0, s)
+            else:
+                cnt = jnp.where(one, 0, lc - 3 * s)
             gbase = s4 * s
-            buf0, nb0, w0 = stream_open(lit_o, byte_base)
 
-            def lit_body(state):
-                k, r, buf, nb, w, sbits = state
-                g = gbase + k
-                r = jax.lax.while_loop(
-                    lambda rr: run_cum[rr] > g, lambda rr: rr - 1, r)
-                ipos = run_pos[r] + (g - run_cum[r])
-                p = codes[0, 0, byte(ipos)]
-                cb = p & 15
-                buf, nb, w = push(lit_o, (buf, nb, w),
-                                  (p >> 4).astype(jnp.uint32), cb)
-                sbits = sbits + cb
+            def do_stream(_, cnt=cnt, gbase=gbase, byte_base=byte_base,
+                          s4=s4):
+                buf0, nb0, w0 = stream_open(lit_o, byte_base)
 
-                @pl.when((k > 0) & ((k & (LIT_ANCHOR_INTERVAL - 1)) == 0))
-                def _():
-                    lanch[0, 0, s4 * LMAXA + (k >> _LA_LOG) - 1] = sbits
+                def lit_body(state):
+                    k, r, buf, nb, w, sbits = state
+                    g = gbase + k
+                    r = jax.lax.while_loop(
+                        lambda rr: run_cum[rr] > g, lambda rr: rr - 1, r)
+                    ipos = run_pos[r] + (g - run_cum[r])
+                    p = codes[0, 0, byte(ipos)]
+                    cb = p & 15
+                    buf, nb, w = push(lit_o, (buf, nb, w),
+                                      (p >> 4).astype(jnp.uint32), cb)
+                    sbits = sbits + cb
 
-                return k - 1, r, buf, nb, w, sbits
+                    @pl.when((k > 0) &
+                             ((k & (LIT_ANCHOR_INTERVAL - 1)) == 0))
+                    def _():
+                        lanch[0, 0, s4 * LMAXA + (k >> _LA_LOG) - 1] = sbits
 
-            k0 = cnt - 1
-            _, _, buf, nb, w, sbits = jax.lax.while_loop(
-                lambda st: st[0] >= 0, lit_body,
-                (k0, n, buf0, nb0, w0, jnp.int32(0)))
-            stream_close(lit_o, (buf, nb, w))
-            sz = (sbits + 1 + 7) >> 3
+                    return k - 1, r, buf, nb, w, sbits
+
+                k0 = cnt - 1
+                _, _, buf, nb, w, sbits = jax.lax.while_loop(
+                    lambda st: st[0] >= 0, lit_body,
+                    (k0, n, buf0, nb0, w0, jnp.int32(0)))
+                stream_close(lit_o, (buf, nb, w))
+                return (sbits + 1 + 7) >> 3
+
+            if s4 == 0:
+                sz = do_stream(None)
+            else:
+                # 1-stream mode emits no trailing streams (a 4-stream
+                # block always emits all four, even empty ones)
+                sz = jax.lax.cond(one, lambda _: jnp.int32(0),
+                                  do_stream, None)
             osz[0, 0, s4] = sz
             byte_base = byte_base + sz
 

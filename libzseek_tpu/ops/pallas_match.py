@@ -296,15 +296,28 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
             we = w32_c(pe_)
             he = ((we.astype(jnp.uint32) * PRIME) >> shift).astype(jnp.int32)
             table_ref[he] = base + pe_
+            # backward extension (zstd-fast does the same): the miss
+            # accelerator can step past a match's true start; walk back
+            # over equal bytes up to the previous anchor / window fence
+            minw = min_abs - base
+
+            def bcond(k):
+                return (ip - k > anchor) & (cand - k > minw) & \
+                    (byte_c(ip - k - 1) ==
+                     byte(jnp.maximum(cand - k - 1, 0)))
+
+            kb = jax.lax.while_loop(bcond, lambda k: k + 1, jnp.int32(0))
+            ips = ip - kb
+            lf = l + kb
             # profitability gate: a sequence costs ~gate_bits state/extra
             # bits + log2(offset_value) offset bits vs ~H bits/literal
             # byte; min_match mirrors zstd level 3's cParams.minMatch.
             # Branch-free: gated-out matches write to slot cnt anyway (the
             # next survivor overwrites) and just don't advance cnt/anchor.
             ebits = 31 - jax.lax.clz(dist + 3)
-            keep = (l >= min_match) & (l * h16 > (gate_bits + ebits) * 16)
-            ll_ref[0, 0, cnt] = ip - anchor
-            ml_ref[0, 0, cnt] = l
+            keep = (lf >= min_match) & (lf * h16 > (gate_bits + ebits) * 16)
+            ll_ref[0, 0, cnt] = ips - anchor
+            ml_ref[0, 0, cnt] = lf
             off_ref[0, 0, cnt] = dist + 3
             return (ip + l, jnp.where(keep, ip + l, anchor),
                     cnt + keep, jnp.int32(0))
@@ -328,7 +341,7 @@ def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
                            min_abs: jnp.ndarray, h16: jnp.ndarray,
                            cap: int = 8192,
                            max_offset: int = (1 << 17) - 1,
-                           hash_log: int = 15,
+                           hash_log: int = 16,
                            gate_bits: int = 14, min_match: int = 5,
                            interpret: bool = False):
     """Linked-block gated zstd parse.

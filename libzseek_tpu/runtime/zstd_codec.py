@@ -64,6 +64,14 @@ def _lit_section_rle(byte: int, n: int) -> bytes:
     return head + bytes([byte])
 
 
+def _lit_section_huff1(regen: int, comp: int, payload: bytes) -> bytes:
+    """Single-stream compressed literals header (Size_Format 00, 3 bytes;
+    the HUF_compress1X layout libzstd uses for literal sets < 256 bytes —
+    no 6-byte jump table)."""
+    v = zf.LIT_COMPRESSED | (0b00 << 2) | (regen << 4) | (comp << 14)
+    return v.to_bytes(3, "little") + payload
+
+
 def _lit_section_huff(regen: int, comp: int, payload: bytes) -> bytes:
     """4-stream compressed literals header (Size_Format 01/10/11)."""
     if regen <= 1023 and comp <= 1023:
@@ -386,22 +394,25 @@ class ZstdCodec:
                     ests[i] = lc + 8
                     continue
                 lengths, codes = ct.lengths, ct.codes
+            one = lc < 256 and not exact   # 1-stream (SMEM path only)
+            jump = 0 if one else 6
+            pad = 2 if one else 8          # per-stream sentinel/rounding
             est_bits = int(np.sum(hist[i] * lengths))
-            stream_bound = est_bits // 8 + 8  # true bound on 4 stream bytes
-            est = est_bits // 8 + len(tree) + 6 + 8
+            stream_bound = est_bits // 8 + pad
+            est = est_bits // 8 + len(tree) + jump + pad
             if est >= lc:
                 ests[i] = lc + 8
                 continue
             if not exact:
                 # conservative pre-fallback (no literal bytes on host)
-                payload_bound = len(tree) + 6 + stream_bound
+                payload_bound = len(tree) + jump + stream_bound
                 hdr = 3 if (lc <= 1023 and payload_bound <= 1023) else \
                     4 if (lc <= 16383 and payload_bound <= 16383) else 5
                 if hdr + payload_bound >= raw_hdr + lc:
                     ests[i] = lc + 8
                     continue
             trees[i] = tree
-            modes[i] = "huf"
+            modes[i] = "huf1" if one else "huf"
             ests[i] = stream_bound
             code_vals[i] = codes
             code_bits[i] = lengths
@@ -459,6 +470,8 @@ class ZstdCodec:
             m = modes[i]
             if m == "huf":
                 mode_bits[i] = pe.MODE_HUF | pe.MODE_SEQ
+            elif m == "huf1":
+                mode_bits[i] = pe.MODE_HUF | pe.MODE_HUF1 | pe.MODE_SEQ
             elif m == "raw" and int(lit_count[i]) > 0:
                 mode_bits[i] = pe.MODE_RAWLIT | pe.MODE_SEQ
             elif m in ("none", "rle", "raw"):
@@ -633,6 +646,11 @@ class ZstdCodec:
                 lit_sec = _lit_section_raw(b"")
             elif modes[i] == "rle":
                 lit_sec = _lit_section_rle(int(np.argmax(hist[i])), lc)
+            elif modes[i] == "huf1":
+                lo = 4 * int(base_w[i])
+                payload = trees[i] + \
+                    flat_bytes[lo: lo + int(sizes4[i, 0])].tobytes()
+                lit_sec = _lit_section_huff1(lc, len(payload), payload)
             elif modes[i] == "huf":
                 jump = b"".join(int(sizes4[i, k]).to_bytes(2, "little")
                                 for k in range(3))
