@@ -34,6 +34,8 @@ def _load():
     lib.zn_huf_build_batch.argtypes = [u32p, ctypes.c_int, i32p, i32p, u8p,
                                        i32p, i32p]
     lib.zn_huf_build_batch.restype = None
+    lib.zn_huf_tree_batch.argtypes = [u8p, ctypes.c_int, u8p, i32p]
+    lib.zn_huf_tree_batch.restype = None
     lib.zn_seektable_serialize.argtypes = [u32p, ctypes.c_int64, u8p]
     lib.zn_seektable_serialize.restype = ctypes.c_int64
     lib.zn_seektable_parse.argtypes = [u8p, ctypes.c_int64, i64p]
@@ -63,6 +65,37 @@ def huf_build_batch(hists: np.ndarray):
     tree_list = [trees[i, : tree_lens[i]].tobytes() if max_bits[i] > 0 else None
                  for i in range(nh)]
     return lengths, codes, tree_list, max_bits
+
+
+def huf_tree_batch(weights: np.ndarray) -> list[bytes | None]:
+    """weights: (nh, 256) uint8 device-built zstd weights -> serialized
+    tree descriptions (None where unserializable: caller stores the block
+    raw).  Python fallback: ops.huffman.write_weights per row."""
+    lib = _load()
+    nh = weights.shape[0]
+    weights = np.ascontiguousarray(weights, np.uint8)
+    trees = np.zeros((nh, 200), np.uint8)
+    tree_lens = np.zeros(nh, np.int32)
+    if lib is not None:
+        lib.zn_huf_tree_batch(weights.reshape(-1), nh, trees.reshape(-1),
+                              tree_lens)
+        return [trees[i, : tree_lens[i]].tobytes() if tree_lens[i] > 0
+                else None for i in range(nh)]
+    from libzseek_tpu.errors import FormatError
+    from libzseek_tpu.ops import huffman
+    out: list[bytes | None] = []
+    for i in range(nh):
+        w = weights[i].astype(np.int32)
+        used = np.nonzero(w)[0]
+        if len(used) < 2:
+            out.append(None)
+            continue
+        try:
+            ct = huffman.ctable_from_weights(w[: used[-1] + 1])
+            out.append(huffman.write_weights(ct))
+        except FormatError:
+            out.append(None)
+    return out
 
 
 def seektable_serialize(entries: np.ndarray) -> bytes:

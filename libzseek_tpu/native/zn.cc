@@ -396,6 +396,46 @@ void zn_huf_build_batch(const uint32_t* hists, int nh, int32_t* lengths,
   }
 }
 
+// Serialize tree descriptions from device-built weight tables (the
+// Huffman tables themselves are constructed on the TPU by
+// ops/huffman_plan.py; only the header bytes are host work).
+//   weights: (nh, 256) uint8, zstd convention (0 = unused,
+//            maxBits + 1 - length otherwise; Kraft-exact by construction)
+//   trees: (nh, 200) uint8 out; tree_lens: (nh,) out (0 = unserializable,
+//          caller stores the block raw)
+void zn_huf_tree_batch(const uint8_t* weights, int nh, uint8_t* trees,
+                       int32_t* tree_lens) {
+  for (int i = 0; i < nh; ++i) {
+    const uint8_t* w = weights + 256 * i;
+    uint8_t* tree = trees + 200 * i;
+    tree_lens[i] = 0;
+    int last = -1;
+    for (int s = 0; s < 256; ++s)
+      if (w[s] > 0) last = s;
+    if (last < 1) continue;  // < 2 used symbols: no huffman section
+    // serialized weights exclude the last used symbol (implied)
+    std::vector<uint8_t> fsec;
+    bool have_fse = write_weights_fse(w, last, fsec);
+    std::vector<uint8_t> direct;
+    if (last <= 127) {
+      direct.push_back((uint8_t)(127 + last));
+      for (int s = 0; s < last; s += 2) {
+        uint8_t hi = (uint8_t)(w[s] << 4);
+        uint8_t lo = s + 1 < last ? w[s + 1] : 0;
+        direct.push_back(hi | lo);
+      }
+    }
+    const std::vector<uint8_t>* best = nullptr;
+    if (have_fse && (!direct.size() || fsec.size() < direct.size()))
+      best = &fsec;
+    else if (direct.size())
+      best = &direct;
+    if (!best || best->size() > 200) continue;
+    std::memcpy(tree, best->data(), best->size());
+    tree_lens[i] = (int32_t)best->size();
+  }
+}
+
 // ---------------------------------------------------------------------------
 // zstd seekable seek table (layout per /root/reference/src/seek_table.c)
 // ---------------------------------------------------------------------------

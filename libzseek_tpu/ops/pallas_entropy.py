@@ -174,29 +174,60 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs,
                           s4=s4):
                 buf0, nb0, w0 = stream_open(lit_o, byte_base)
 
-                def lit_body(state):
-                    k, r, buf, nb, w, sbits = state
-                    g = gbase + k
+                # run-chunked walk (descending global literal index g):
+                # resolve the covering run once per chunk instead of once
+                # per literal, stop chunks at anchor boundaries so the
+                # inner loop is branch-free, and push literal codes in
+                # PAIRS (two codes are <= 22 bits, one push call)
+                def chunk_body(state):
+                    g, r, buf, nb, w, sbits = state
                     r = jax.lax.while_loop(
                         lambda rr: run_cum[rr] > g, lambda rr: rr - 1, r)
-                    ipos = run_pos[r] + (g - run_cum[r])
-                    p = codes[0, 0, byte(ipos)]
-                    cb = p & 15
-                    buf, nb, w = push(lit_o, (buf, nb, w),
-                                      (p >> 4).astype(jnp.uint32), cb)
+                    k = g - gbase
+                    na = (k >> _LA_LOG) << _LA_LOG
+                    lo = jnp.maximum(run_cum[r], gbase + na)
+                    cntc = g - lo + 1
+                    ipos_hi = run_pos[r] + (g - run_cum[r])
+
+                    def pair_body(t, st):
+                        buf, nb, w, sb = st
+                        p1 = codes[0, 0, byte(ipos_hi - 2 * t)]
+                        p2 = codes[0, 0, byte(ipos_hi - 2 * t - 1)]
+                        c1 = p1 & 15
+                        v = (p1 >> 4).astype(jnp.uint32) | \
+                            ((p2 >> 4).astype(jnp.uint32)
+                             << c1.astype(jnp.uint32))
+                        cb = c1 + (p2 & 15)
+                        buf, nb, w = push(lit_o, (buf, nb, w), v, cb)
+                        return buf, nb, w, sb + cb
+
+                    buf, nb, w, sbits = jax.lax.fori_loop(
+                        0, cntc >> 1, pair_body, (buf, nb, w, sbits))
+                    # odd tail: a 0-bit push is a no-op
+                    odd = (cntc & 1) != 0
+                    pt = codes[0, 0, byte(jnp.where(
+                        odd, ipos_hi - (cntc - 1), ipos_hi))]
+                    cb = jnp.where(odd, pt & 15, 0)
+                    buf, nb, w = push(
+                        lit_o, (buf, nb, w),
+                        jnp.where(odd, (pt >> 4).astype(jnp.uint32),
+                                  jnp.uint32(0)), cb)
                     sbits = sbits + cb
 
-                    @pl.when((k > 0) &
-                             ((k & (LIT_ANCHOR_INTERVAL - 1)) == 0))
+                    k_lo = lo - gbase
+
+                    @pl.when((k_lo > 0) &
+                             ((k_lo & (LIT_ANCHOR_INTERVAL - 1)) == 0))
                     def _():
-                        lanch[0, 0, s4 * LMAXA + (k >> _LA_LOG) - 1] = sbits
+                        lanch[0, 0, s4 * LMAXA + (k_lo >> _LA_LOG) - 1] = \
+                            sbits
 
-                    return k - 1, r, buf, nb, w, sbits
+                    return lo - 1, r, buf, nb, w, sbits
 
-                k0 = cnt - 1
+                g0 = gbase + cnt - 1
                 _, _, buf, nb, w, sbits = jax.lax.while_loop(
-                    lambda st: st[0] >= 0, lit_body,
-                    (k0, n, buf0, nb0, w0, jnp.int32(0)))
+                    lambda st: st[0] >= gbase, chunk_body,
+                    (g0, n, buf0, nb0, w0, jnp.int32(0)))
                 stream_close(lit_o, (buf, nb, w))
                 return (sbits + 1 + 7) >> 3
 

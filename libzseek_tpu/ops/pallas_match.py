@@ -264,18 +264,33 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
             l = l + ok
         return l
 
-    def body(state):
+    def make_body(strict: bool):
         # single branch per probe (scalar branches cost ~a probe each);
-        # the profitability gate is a select inside the match arm
-        ip, anchor, cnt, miss = state
-        w = w32_c(ip)
-        h = ((w.astype(jnp.uint32) * PRIME) >> shift).astype(jnp.int32)
-        cand_abs = table_ref[h]
-        table_ref[h] = base + ip
-        dist = base + ip - cand_abs
-        cand = cand_abs - base      # window position (>= 0 when usable)
-        good = (cand_abs >= min_abs) & (dist <= max_offset) & (cnt < cap)
-        good = good & (w32(jnp.clip(cand, 0, 8 * CW)) == w)
+        # the profitability gate is a select inside the match arm.
+        # strict arm: the block's entropy is low enough that the gate
+        # rejects all matches shorter than ~6-8 bytes, so candidates must
+        # also match their SECOND word before the expensive extend/
+        # backward/gate work runs — mis-gated 4-7 byte candidates are what
+        # used to dominate parse time on text-like blocks
+        def body(state):
+            ip, anchor, cnt, miss = state
+            w = w32_c(ip)
+            h = ((w.astype(jnp.uint32) * PRIME) >> shift).astype(jnp.int32)
+            cand_abs = table_ref[h]
+            table_ref[h] = base + ip
+            dist = base + ip - cand_abs
+            cand = cand_abs - base  # window position (>= 0 when usable)
+            good = (cand_abs >= min_abs) & (dist <= max_offset) & \
+                (cnt < cap)
+            good = good & (w32(jnp.clip(cand, 0, 8 * CW)) == w)
+            if strict:
+                good = good & (w32_c(ip + 4) ==
+                               w32(jnp.clip(cand + 4, 0, 8 * CW)))
+            return _probe_tail(state, ip, anchor, cnt, miss, w, dist, cand,
+                               good)
+        return body
+
+    def _probe_tail(state, ip, anchor, cnt, miss, w, dist, cand, good):
 
         def do_match(_):
             l = extend(ip, cand)
@@ -327,12 +342,27 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
 
         return jax.lax.cond(good, do_match, do_miss, None)
 
+    # gate break-even length at a typical offset cost (ebits ~ 10): when
+    # even ~5-byte matches cannot pass the gate the strict arm runs,
+    # pre-filtering candidates on their second word too
+    strict_blk = 6 * h16 <= (gate_bits + 10) * 16
     ip0 = jnp.int32(block_bytes)
-    ip, anchor, cnt, miss = jax.lax.while_loop(
-        lambda s: s[0] < limit, body,
-        (ip0, ip0, jnp.int32(0), jnp.int32(0)))
-    n_ref[0, 0, 0] = cnt
-    n_ref[0, 0, 1] = anchor - block_bytes   # cover end, block-relative
+
+    @pl.when(strict_blk)
+    def _():
+        ip, anchor, cnt, miss = jax.lax.while_loop(
+            lambda s: s[0] < limit, make_body(True),
+            (ip0, ip0, jnp.int32(0), jnp.int32(0)))
+        n_ref[0, 0, 0] = cnt
+        n_ref[0, 0, 1] = anchor - block_bytes
+
+    @pl.when(jnp.logical_not(strict_blk))
+    def _():
+        ip, anchor, cnt, miss = jax.lax.while_loop(
+            lambda s: s[0] < limit, make_body(False),
+            (ip0, ip0, jnp.int32(0), jnp.int32(0)))
+        n_ref[0, 0, 0] = cnt
+        n_ref[0, 0, 1] = anchor - block_bytes   # cover end, block-relative
 
 
 @partial(jax.jit, static_argnames=("cap", "max_offset", "hash_log",

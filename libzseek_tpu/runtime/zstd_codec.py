@@ -126,6 +126,11 @@ class ZstdCodec:
         # without a literal plane (TPU), XLA kernels otherwise; "smem" /
         # "xla" force a path (smem on CPU runs in interpret mode, tests)
         self.entropy = entropy
+        # adaptive payload-fetch cap for the device-resident chain:
+        # sized from recent batches' realized compressed sizes
+        from collections import deque
+        self._cap_hint: int | None = None
+        self._needs = deque([1], maxlen=8)
 
     def _parser_kind(self) -> str:
         """"linked" (persistent-table gated SMEM kernel, the TPU default),
@@ -179,7 +184,7 @@ class ZstdCodec:
         cursor = 0
         for fi, fr in enumerate(frames):
             n = len(fr)
-            head = zf.build_frame_header(n, single_segment=n > 0)
+            head = zf.build_frame_header(n, single_segment=True)
             body = bytearray(head)
             fhints = []
             nblocks = math.ceil(n / BLOCK)
@@ -253,10 +258,18 @@ class ZstdCodec:
                                          jnp.asarray(min_abs),
                                          interpret=interp)
             Xd = jax.lax.slice_in_dim(X2d, 1, Bp + 1, axis=0)
+            if self.entropy in ("auto", "smem"):
+                staged = self._dispatch_chain(seqs, lens[:B], Xd, lens,
+                                              interp)
+                if _os.environ.get("ZN_PROFILE"):
+                    print(f"[ZN_PROFILE dispatch] {_time.time() - _t0:.3f}s",
+                          file=_sys.stderr)
+                return staged
+            packed = self._pack_small(seqs)
             if _os.environ.get("ZN_PROFILE"):
                 print(f"[ZN_PROFILE dispatch] {_time.time() - _t0:.3f}s",
                       file=_sys.stderr)
-            return seqs, lens[:B], Xd, lens
+            return seqs, lens[:B], Xd, lens, packed
         X = np.zeros((Bp, N), np.uint8)
         lens = np.zeros((Bp,), np.int32)
         for i, blk in enumerate(blocks):
@@ -275,15 +288,200 @@ class ZstdCodec:
             seqs = zstd_sequences(Xd, jnp.asarray(lens),
                                   seg_size=self.seg_size,
                                   max_len=self.max_len)
+        packed = self._pack_small(seqs)
         if _os.environ.get("ZN_PROFILE"):
             print(f"[ZN_PROFILE dispatch] {_time.time() - _t0:.3f}s",
                   file=_sys.stderr)
-        return seqs, lens[:B], Xd, lens
+        return seqs, lens[:B], Xd, lens, packed
+
+    # --- fully device-resident chain (linked parser + SMEM entropy) ---
+    #
+    # parse -> Huffman plan (ops/huffman_plan.py) -> entropy kernel ->
+    # payload compaction are all dispatched back-to-back at submit time and
+    # both device->host transfers start asynchronously right away, so the
+    # finish step only unpacks and assembles.  This keeps the device FIFO
+    # free of host round trips (the old flow fetched histograms and built
+    # tables on host between parse and entropy, letting later batches'
+    # parses jump the queue ahead of this batch's entropy stage).
+
+    @staticmethod
+    def _bucket_words(n: int) -> int:
+        """Round a word count up to 2 mantissa bits (<= 25 % overshoot) so
+        the adaptive payload cap reuses a handful of compiled shapes."""
+        n = max(int(n), 1 << 14)
+        e = max(0, n.bit_length() - 3)
+        return ((n + (1 << e) - 1) >> e) << e
+
+    def _cap_words_for(self, batch_words: int) -> int:
+        hint = self._cap_hint
+        if hint is None:
+            # first batch: assume ratio <= 0.5 + slack; the overflow
+            # refetch path covers harder data
+            return self._bucket_words(batch_words // 2 + (1 << 14))
+        return hint
+
+    def _dispatch_chain(self, seqs, lens, x_dev, lens_pad, interp):
+        from libzseek_tpu.ops import huffman_plan as hp
+        from libzseek_tpu.ops import pallas_entropy as pe
+        Bp = seqs["n_seq"].shape[0]
+        N = BLOCK
+        S = seqs["ll"].shape[1]       # entropy kernel spans the parse cap
+        lit_cap = _ceil_to(N + 64, 128)
+        seq_cap = _ceil_to(9 * S + 64, 128)
+        lens_dev = jnp.asarray(lens_pad.astype(np.int32))
+        mode, mode_bits, codes_packed, weights_packed, _rle = hp.plan_blocks(
+            seqs["hist"], seqs["lit_count"], seqs["n_seq"], seqs["const"],
+            lens_dev, mode_huf=pe.MODE_HUF, mode_huf1=pe.MODE_HUF1,
+            mode_rawlit=pe.MODE_RAWLIT, mode_seq=pe.MODE_SEQ)
+        meta = jnp.stack([lens_dev, seqs["lit_count"].astype(jnp.int32),
+                          seqs["n_seq"].astype(jnp.int32), mode_bits],
+                         axis=1)
+        lit_w, seq_w, osz, lanch, sanch = pe.entropy_emit_smem(
+            x_dev, seqs["ll"], seqs["ml"], seqs["offv"], meta,
+            codes_packed, S, lit_cap, seq_cap, interpret=interp)
+        lit_bytes_dev = jnp.sum(osz[:, :4], axis=1)
+        seq_bytes_dev = osz[:, 4]
+        cap_words = self._cap_words_for(Bp * N // 4)
+        flat, base_w, lw_w = compact_payload(
+            lit_w, lit_bytes_dev, seq_w, seq_bytes_dev, cap_words)
+        parts = [seqs["hist"].reshape(-1), seqs["lit_count"],
+                 seqs["n_seq"], seqs["const"], mode,
+                 weights_packed.reshape(-1), base_w, lw_w, osz.reshape(-1)]
+        shapes = {"lanch": lanch.shape, "sanch": sanch.shape}
+        if self.collect_hints:
+            parts += [lanch.reshape(-1), sanch.reshape(-1)]
+        small = jnp.concatenate([p.astype(jnp.int32) for p in parts])
+        for a in (small, flat):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        return {"kind": "chain", "B": len(lens), "Bp": Bp, "lens": lens,
+                "small": small, "flat": flat, "cap_words": cap_words,
+                "streams": (lit_w, lit_bytes_dev, seq_w, seq_bytes_dev),
+                "shapes": shapes}
+
+    def _finish_chain(self, staged):
+        import os
+        import time as _time
+        prof = os.environ.get("ZN_PROFILE")
+        marks = [("t0", _time.time())]
+
+        def mark(name):
+            if prof:
+                marks.append((name, _time.time()))
+
+        from libzseek_tpu.ops import huffman_plan as hp
+        B, Bp, lens = staged["B"], staged["Bp"], staged["lens"]
+        small = np.asarray(staged["small"])
+        mark("small_fetch")
+        pos = 0
+
+        def take(n, shape=None):
+            nonlocal pos
+            out = small[pos: pos + n]
+            pos += n
+            return out.reshape(shape) if shape else out
+
+        hist = take(Bp * 256, (Bp, 256))
+        lit_count = take(Bp)
+        n_seq = take(Bp)
+        const = take(Bp)
+        mode = take(Bp)
+        weights_packed = take(Bp * 32, (Bp, 32))
+        base_w = take(Bp)
+        lw_w = take(Bp)
+        osz = take(Bp * 8, (Bp, 8))
+        if self.collect_hints:
+            ls = staged["shapes"]["lanch"]
+            ss = staged["shapes"]["sanch"]
+            lanch = take(int(np.prod(ls))).reshape(Bp, 4, -1)
+            sa = take(int(np.prod(ss))).reshape(Bp, 5, -1)
+            lit_anchors = lanch
+            sa_bits = sa[:, 0]
+            sa_states = np.stack([sa[:, 1], sa[:, 2], sa[:, 3]], axis=2)
+            sa_rep1 = sa[:, 4]
+        else:
+            lit_anchors = sa_bits = sa_states = sa_rep1 = None
+        sizes4 = osz[:, :4]
+        seq_sizes = osz[:, 4]
+        need = int(base_w[Bp - 1] + lw_w[Bp - 1]
+                   + (int(seq_sizes[Bp - 1]) + 3) // 4)
+        cap_words = staged["cap_words"]
+        if need > cap_words:
+            # adaptive cap undershot (regime shift): recompact at the
+            # exact bucket and refetch — rare, costs one extra round trip
+            lit_w, lit_b, seq_w, seq_b = staged["streams"]
+            cap_words = self._bucket_words(need)
+            flat_dev, base_d, lw_d = compact_payload(
+                lit_w, lit_b, seq_w, seq_b, cap_words)
+            flat_bytes = np.asarray(flat_dev).view(np.uint8)
+            base_w = np.asarray(base_d)
+            lw_w = np.asarray(lw_d)
+        else:
+            flat_bytes = np.asarray(staged["flat"]).view(np.uint8)
+        mark("payload_fetch")
+        self._needs.append(need)
+        self._cap_hint = self._bucket_words(int(max(self._needs) * 1.4))
+
+        from libzseek_tpu import native
+        weights = hp.unpack_weights(weights_packed[:B])
+        trees_all = native.huf_tree_batch(weights)
+        mark("trees")
+        mode_names = {hp.M_SKIP: "skip", hp.M_RLEBLOCK: "rleblock",
+                      hp.M_NONE: "none", hp.M_RLE: "rle", hp.M_RAW: "raw",
+                      hp.M_HUF: "huf", hp.M_HUF1: "huf1"}
+        modes: list[str] = []
+        trees: list[bytes | None] = []
+        lit_rows: dict[int, np.ndarray] = {}
+        for i in range(B):
+            m = mode_names[int(mode[i])]
+            t = None
+            if m in ("huf", "huf1"):
+                t = trees_all[i]
+                if t is None:
+                    m = "skip"  # unserializable tree: store the block raw
+            elif m == "raw" and int(lit_count[i]) > 0:
+                lo = 4 * int(base_w[i])
+                lit_rows[i] = flat_bytes[lo: lo + int(lit_count[i])]
+            modes.append(m)
+            trees.append(t)
+        ent = dict(sizes4=sizes4, seq_sizes=seq_sizes,
+                   flat_bytes=flat_bytes, base_w=base_w, lw_w=lw_w,
+                   lit_anchors=lit_anchors, sa_bits=sa_bits,
+                   sa_states=sa_states, sa_rep1=sa_rep1,
+                   lit_rows=lit_rows, modes=modes)
+        out = self._assemble(B, lens, lit_count[:B], n_seq[:B], hist[:B],
+                             modes, trees, ent, const=const[:B])
+        mark("assemble")
+        if prof:
+            import sys
+            line = " | ".join(f"{n} {t1 - t0:.3f}s" for (_, t0), (n, t1)
+                              in zip(marks, marks[1:]))
+            print(f"[ZN_PROFILE chain] {line}", file=sys.stderr)
+        return out
+
+    @staticmethod
+    def _pack_small(seqs):
+        """Bundle the small parse outputs into one device array and start
+        its device->host transfer immediately (every transfer pays a round
+        trip through a tunneled TPU; starting it at dispatch time overlaps
+        it with the uploads/parses of later batches)."""
+        packed = jnp.concatenate([
+            seqs["hist"].reshape(-1), seqs["lit_count"], seqs["n_seq"],
+            seqs["const"]])
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        return packed
 
     def _finish_blocks(self, staged):
         """Stage 2: fetch parse results, build tables, run the entropy
         stage (fused SMEM kernel on TPU, XLA kernels elsewhere), assemble
         block payloads + hints."""
+        if isinstance(staged, dict) and staged.get("kind") == "chain":
+            return self._finish_chain(staged)
         import os
         import time as _time
         prof = os.environ.get("ZN_PROFILE")
@@ -291,20 +489,21 @@ class ZstdCodec:
 
         def mark(name, fence=None):
             if prof:
-                if fence is not None:
+                # ZN_PROFILE=2: no fences — time only the real blocking
+                # waits, so the split matches production behavior
+                if fence is not None and prof != "2":
                     jax.tree_util.tree_map(
                         lambda a: a.block_until_ready()
                         if hasattr(a, "block_until_ready") else a, fence)
                 marks.append((name, _time.time()))
 
-        seqs, lens, x_dev, lens_pad = staged
+        seqs, lens, x_dev, lens_pad, packed_dev = staged
         B = lens.shape[0]           # real blocks; device arrays are padded
         Bp = seqs["n_seq"].shape[0]
-        # one packed fetch: every device->host transfer pays a round trip
-        # (expensive through a tunneled TPU), so small arrays travel as one
-        packed = np.asarray(jnp.concatenate([
-            seqs["hist"].reshape(-1), seqs["lit_count"], seqs["n_seq"],
-            seqs["const"]]))
+        # the packed small-array transfer was started at dispatch time
+        # (_pack_small); this wait usually returns immediately in steady
+        # state
+        packed = np.asarray(packed_dev)
         mark('packed_fetch')
         hist = packed[: Bp * 256].reshape(Bp, 256)[:B]
         lit_count = packed[Bp * 256: Bp * 256 + Bp][:B]
@@ -713,11 +912,19 @@ class _ZstdStream:
 
     def __init__(self, codec: ZstdCodec, return_hints: bool, depth: int):
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
         self._codec = codec
         self._return_hints = return_hints
         self._depth = max(1, depth)
         self._groups = deque()
         self._inflight = 0
+        # one worker thread runs the finish chain (blocking fetches, table
+        # build, entropy dispatch, assembly) so the main thread keeps
+        # uploading/dispatching later batches: the tunnel round trips of
+        # batch k then overlap the uploads of batch k+1.  A single worker
+        # keeps batches finishing in FIFO order.
+        self._pool = ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="zseek-finish")
 
     def submit(self, frames):
         from collections import deque
@@ -728,23 +935,27 @@ class _ZstdStream:
              "payloads": {}, "bhints": {}}
         for lo in range(0, len(spans), codec.max_batch_blocks):
             chunk = spans[lo: lo + codec.max_batch_blocks]
-            g["batches"].append((lo, codec._dispatch_parse(
+            st = codec._dispatch_parse(
                 [np.frombuffer(frames[fi], np.uint8, sz, s)
                  for fi, s, sz in chunk],
-                first_flags=[s == 0 for _, s, _ in chunk])))
+                first_flags=[s == 0 for _, s, _ in chunk])
+            g["batches"].append(
+                (lo, self._pool.submit(codec._finish_blocks, st)))
             self._inflight += 1
         self._groups.append(g)
         return self._drain(self._depth)
 
     def finish(self):
-        return self._drain(0)
+        out = self._drain(0)
+        self._pool.shutdown(wait=True)
+        return out
 
     def _drain(self, depth: int):
         codec = self._codec
         while self._inflight > depth:
             g = next(gr for gr in self._groups if gr["batches"])
-            lo0, st = g["batches"].popleft()
-            payloads, bhints = codec._finish_blocks(st)
+            lo0, fut = g["batches"].popleft()
+            payloads, bhints = fut.result()
             for i, (p, bh) in enumerate(zip(payloads, bhints)):
                 g["payloads"][lo0 + i] = p
                 g["bhints"][lo0 + i] = bh

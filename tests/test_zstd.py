@@ -93,3 +93,29 @@ def test_rle_blocks_for_constant_data():
     assert golden.zstd_frame_decompress(frames[0], len(data)) == data
     # round-trips through our own decoder too
     assert codec.decompress_frames(frames, [len(data)])[0] == data
+
+
+def test_device_chain_flow(cases):
+    """The fully device-resident chain (linked parser + device Huffman
+    plan + SMEM entropy + adaptive-cap compaction) must produce
+    stock-decodable frames — runs in interpret mode on CPU, the real
+    kernels on TPU.  This is the production TPU encode path."""
+    codec = ZstdCodec(parser="linked", entropy="smem")
+    vals = list(cases.values())
+    frames = codec.compress_frames(vals)
+    for (name, raw), fr in zip(cases.items(), frames):
+        assert golden.zstd_decompress(fr) == raw, name
+    # second stream reuses the adapted payload cap
+    frames2 = codec.compress_frames(vals[:2])
+    for raw, fr in zip(vals[:2], frames2):
+        assert golden.zstd_decompress(fr) == raw
+
+
+def test_device_chain_cap_overflow(rng):
+    """Force the adaptive payload cap to undershoot (tiny hint vs a
+    raw-literal-heavy batch) and check the recompact-refetch path."""
+    codec = ZstdCodec(parser="linked", entropy="smem")
+    codec._cap_hint = 1 << 14   # 64 KiB words floor, far below need
+    raw = rng.integers(0, 250, 600_000, np.uint8).tobytes()  # rawlit rows
+    frames = codec.compress_frames([raw])
+    assert golden.zstd_decompress(frames[0]) == raw
