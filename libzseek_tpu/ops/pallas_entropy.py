@@ -94,6 +94,18 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs,
     def byte(i):
         return (words[0, 0, i >> 2] >> ((i & 3) * 8)) & 0xFF
 
+    NWW = words.shape[2]
+
+    def w32l(i):
+        # unaligned LE32 load from the raw block words
+        q = i >> 2
+        sh = ((i & 3) * 8).astype(jnp.uint32)
+        lo = words[0, 0, q].astype(jnp.uint32)
+        hi = words[0, 0, jnp.minimum(q + 1, NWW - 1)].astype(jnp.uint32)
+        return ((lo >> sh) | jnp.where(
+            sh == 0, jnp.uint32(0),
+            hi << (jnp.uint32(32) - sh))).astype(jnp.int32)
+
     for k in range(8):
         osz[0, 0, k] = 0
 
@@ -189,28 +201,47 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs,
                     cntc = g - lo + 1
                     ipos_hi = run_pos[r] + (g - run_cum[r])
 
-                    def pair_body(t, st):
+                    def pair(st, pa, pb, on):
+                        # one push of two codes (<= 22 bits); on=False
+                        # degrades to a 0-bit no-op push
                         buf, nb, w, sb = st
-                        p1 = codes[0, 0, byte(ipos_hi - 2 * t)]
-                        p2 = codes[0, 0, byte(ipos_hi - 2 * t - 1)]
-                        c1 = p1 & 15
-                        v = (p1 >> 4).astype(jnp.uint32) | \
-                            ((p2 >> 4).astype(jnp.uint32)
+                        c1 = pa & 15
+                        v = (pa >> 4).astype(jnp.uint32) | \
+                            ((pb >> 4).astype(jnp.uint32)
                              << c1.astype(jnp.uint32))
-                        cb = c1 + (p2 & 15)
+                        cb = jnp.where(on, c1 + (pb & 15), 0)
+                        v = jnp.where(on, v, jnp.uint32(0))
                         buf, nb, w = push(lit_o, (buf, nb, w), v, cb)
                         return buf, nb, w, sb + cb
 
+                    def quad_body(t, st):
+                        # 4 literals per iteration: one unaligned 32-bit
+                        # load yields all four bytes (descending order)
+                        v4 = w32l(ipos_hi - 4 * t - 3)
+                        p3 = codes[0, 0, (v4 >> 24) & 0xFF]
+                        p2 = codes[0, 0, (v4 >> 16) & 0xFF]
+                        p1 = codes[0, 0, (v4 >> 8) & 0xFF]
+                        p0 = codes[0, 0, v4 & 0xFF]
+                        st = pair(st, p3, p2, True)
+                        return pair(st, p1, p0, True)
+
                     buf, nb, w, sbits = jax.lax.fori_loop(
-                        0, cntc >> 1, pair_body, (buf, nb, w, sbits))
-                    # odd tail: a 0-bit push is a no-op
-                    odd = (cntc & 1) != 0
+                        0, cntc >> 2, quad_body, (buf, nb, w, sbits))
+                    # 0-3 remaining literals
+                    rem = cntc & 3
+                    bp = ipos_hi - (cntc & ~3)
+                    hp = rem >= 2
+                    pa = codes[0, 0, byte(jnp.where(hp, bp, ipos_hi))]
+                    pb = codes[0, 0, byte(jnp.where(hp, bp - 1, ipos_hi))]
+                    buf, nb, w, sbits = pair(
+                        (buf, nb, w, sbits), pa, pb, hp)
+                    ho = (rem & 1) != 0
                     pt = codes[0, 0, byte(jnp.where(
-                        odd, ipos_hi - (cntc - 1), ipos_hi))]
-                    cb = jnp.where(odd, pt & 15, 0)
+                        ho, bp - 2 * (rem >> 1), ipos_hi))]
+                    cb = jnp.where(ho, pt & 15, 0)
                     buf, nb, w = push(
                         lit_o, (buf, nb, w),
-                        jnp.where(odd, (pt >> 4).astype(jnp.uint32),
+                        jnp.where(ho, (pt >> 4).astype(jnp.uint32),
                                   jnp.uint32(0)), cb)
                     sbits = sbits + cb
 

@@ -156,7 +156,7 @@ class ZstdCodec:
             out_hints.extend(fh)
         return (out, out_hints) if return_hints else out
 
-    def begin_stream(self, return_hints: bool = False, depth: int = 2):
+    def begin_stream(self, return_hints: bool = False, depth: int = 4):
         """Open a streaming compression session: `submit(frames)` dispatches
         a frame group into the device pipeline and returns any OLDER groups
         that completed, `finish()` drains the rest.  Groups complete in
