@@ -61,33 +61,17 @@ class LZ4Codec:
 
     # --- compress ---
 
-    def compress_frames(self, frames: list[bytes | memoryview]) -> list[bytes]:
-        """Compress a list of frames; returns LZ4F container bytes per frame."""
-        if not frames:
-            return []
-        ctx = 0 if self.block_independent else BLOCK
-        # split every frame into blocks; batch all blocks together
+    @staticmethod
+    def _frame_spans(frames):
         spans = []  # (frame_idx, start, size)
         for fi, fr in enumerate(frames):
             n = len(fr)
             for s in range(0, n, BLOCK):
                 spans.append((fi, s, min(BLOCK, n - s)))
-        comp_payloads: list[bytes | None] = [None] * len(spans)
-        # 2-deep pipeline: batch k+1 uploads/dispatches before batch k's
-        # results are fetched
-        pending: list[tuple[int, int, tuple]] = []
-        for lo in range(0, len(spans), self.max_batch_blocks):
-            chunk = spans[lo: lo + self.max_batch_blocks]
-            B = len(chunk)
-            pending.append((lo, B, self._dispatch_batch(frames, chunk, ctx)))
-            if len(pending) >= 2:
-                lo0, B0, st = pending.pop(0)
-                for i, payload in enumerate(self._finish_batch(B0, st)):
-                    comp_payloads[lo0 + i] = payload
-        for lo0, B0, st in pending:
-            for i, payload in enumerate(self._finish_batch(B0, st)):
-                comp_payloads[lo0 + i] = payload
-        # assemble frames; per block choose compressed vs stored
+        return spans
+
+    def _assemble_frames(self, frames, spans, comp_payloads):
+        """Per block choose compressed vs stored, build LZ4F containers."""
         out_frames = []
         cursor = 0
         for fi, fr in enumerate(frames):
@@ -106,6 +90,25 @@ class LZ4Codec:
             out_frames.append(lz4f.assemble_frame(
                 blocks, n, block_independent=self.block_independent))
         return out_frames
+
+    def begin_stream(self, return_hints: bool = False, depth: int = 4):
+        """Streaming compression session, same contract as
+        ZstdCodec.begin_stream: submit(frames) -> completed older groups,
+        finish() drains.  A worker thread runs the blocking fetches so the
+        caller keeps uploading later batches (LZ4 produces no hints; each
+        group returns (frames, [None]*n))."""
+        return _LZ4Stream(self, depth)
+
+    def compress_frames(self, frames: list[bytes | memoryview]) -> list[bytes]:
+        """Compress a list of frames; returns LZ4F container bytes per frame."""
+        if not frames:
+            return []
+        stream = self.begin_stream()
+        groups = stream.submit(frames) + stream.finish()
+        out = []
+        for fr_out, _ in groups:
+            out.extend(fr_out)
+        return out
 
     def _dispatch_batch(self, frames, chunk, ctx):
         """Upload one block batch and dispatch its encode (async)."""
@@ -153,6 +156,10 @@ class LZ4Codec:
             meta = jnp.concatenate([olens, base_w,
                                     jax.lax.bitcast_convert_type(
                                         flat, jnp.int32)])
+            try:
+                meta.copy_to_host_async()
+            except Exception:
+                pass
             return ("fused", Bp, meta)
         X = np.zeros((Bp, ctx + BLOCK), np.uint8)
         lens = np.zeros((Bp,), np.int32)
@@ -240,3 +247,59 @@ class LZ4Codec:
                         f"expected {d_sizes[i]}")
                 results[i] = out[r, : out_lens[r]].tobytes()
         return results  # type: ignore[return-value]
+
+
+class _LZ4Stream:
+    """Streaming LZ4 compression session (see LZ4Codec.begin_stream).
+    Same shape as zstd_codec._ZstdStream: batches flow through a
+    single-worker pipeline so tunnel round trips of batch k overlap the
+    uploads of batch k+1; groups complete in submission order."""
+
+    def __init__(self, codec: LZ4Codec, depth: int):
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        self._codec = codec
+        self._depth = max(1, depth)
+        self._groups = deque()
+        self._inflight = 0
+        self._pool = ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="zseek-lz4")
+
+    def submit(self, frames):
+        from collections import deque
+        codec = self._codec
+        frames = list(frames)
+        ctx = 0 if codec.block_independent else BLOCK
+        spans = codec._frame_spans(frames)
+        g = {"frames": frames, "spans": spans, "batches": deque(),
+             "payloads": {}}
+        for lo in range(0, len(spans), codec.max_batch_blocks):
+            chunk = spans[lo: lo + codec.max_batch_blocks]
+            st = codec._dispatch_batch(frames, chunk, ctx)
+            g["batches"].append(
+                (lo, self._pool.submit(codec._finish_batch, len(chunk),
+                                       st)))
+            self._inflight += 1
+        self._groups.append(g)
+        return self._drain(self._depth)
+
+    def finish(self):
+        out = self._drain(0)
+        self._pool.shutdown(wait=True)
+        return out
+
+    def _drain(self, depth: int):
+        codec = self._codec
+        while self._inflight > depth:
+            g = next(gr for gr in self._groups if gr["batches"])
+            lo0, fut = g["batches"].popleft()
+            for i, payload in enumerate(fut.result()):
+                g["payloads"][lo0 + i] = payload
+            self._inflight -= 1
+        done = []
+        while self._groups and not self._groups[0]["batches"]:
+            g = self._groups.popleft()
+            payloads = [g["payloads"][i] for i in range(len(g["spans"]))]
+            out = codec._assemble_frames(g["frames"], g["spans"], payloads)
+            done.append((out, [None] * len(g["frames"])))
+        return done
