@@ -69,6 +69,11 @@ class Reader:
         # of one batched program; per-frame calls waste the batch axis)
         self._readahead = max(1, readahead)
         self._last_miss = -2
+        # async sequential prefetch: while the consumer drains window k,
+        # a background thread decodes window k+1 into the cache (device
+        # decode + the slow device->host transfer overlap delivery)
+        self._ahead: tuple[int, int, object] | None = None
+        self._pf_pool = None
         self._hints = self._load_hints() \
             if getattr(self._codec, "supports_hints", False) else None
 
@@ -208,19 +213,62 @@ class Reader:
             raise FormatError(f"short read of frame {idx}")
         return data
 
+    def _window(self) -> int:
+        """Sequential decode window: half the cache holds the window being
+        consumed, the other half the one being prefetched."""
+        return min(self._readahead, max(1, self._cache.capacity // 2))
+
+    def _schedule_ahead(self, start: int, count: int) -> None:
+        if self._cache is None or count <= 0 or \
+                start >= self._table.num_frames:
+            return
+        end = min(start + count, self._table.num_frames)
+        idxs = list(range(start, end))
+        if self._pf_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pf_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="zseek-prefetch")
+
+        def work():
+            datas = [self._read_frame_bytes(i) for i in idxs]
+            d_sizes = [self._table.frame_d_size(i) for i in idxs]
+            if self._hints is not None:
+                frames = self._codec.decompress_frames(
+                    datas, d_sizes, [self._frame_hints(i) for i in idxs])
+            else:
+                frames = self._codec.decompress_frames(datas, d_sizes)
+            with self._lock:
+                for i, fr in zip(idxs, frames):
+                    if self._cache.find(i) is None:
+                        self._cache.insert(i, fr)
+
+        self._ahead = (start, end, self._pf_pool.submit(work))
+
     def _get_frame(self, idx: int) -> bytes:
         if self._cache is not None:
             with self._lock:
                 hit = self._cache.find(idx)
             if hit is not None:
                 return hit
+        if self._ahead is not None:
+            s, e, fut = self._ahead
+            if s <= idx < e:
+                # the prefetched window covers this frame: wait for it and
+                # immediately pipeline the next window
+                self._ahead = None
+                fut.result()
+                self._last_miss = e - 1
+                self._schedule_ahead(e, self._window())
+                with self._lock:
+                    hit = self._cache.find(idx)
+                if hit is not None:
+                    return hit
         # batch ahead on a sequential miss streak
         streak = idx == self._last_miss + 1
         self._last_miss = idx
         count = 1
         if streak and self._cache is not None:
-            count = min(self._readahead, self._table.num_frames - idx,
-                        max(1, self._cache.capacity))
+            count = min(self._window(), self._table.num_frames - idx)
         idxs = [idx]
         for j in range(idx + 1, idx + count):
             with self._lock:
@@ -241,6 +289,11 @@ class Reader:
                 for i, fr in zip(idxs, frames):
                     if self._cache.find(i) is None:
                         self._cache.insert(i, fr)
+        # the streak continues at the window's end, and the next window
+        # decodes in the background while this one is consumed
+        self._last_miss = idxs[-1]
+        if len(idxs) > 1 and self._ahead is None:
+            self._schedule_ahead(idxs[-1] + 1, self._window())
         return frames[0]
 
     def __enter__(self):
