@@ -43,12 +43,28 @@ class LZ4Codec:
     name = "lz4"
 
     def __init__(self, level: int = 0, max_batch_blocks: int = 256,
-                 block_independent: bool = False, parser: str = "auto"):
+                 block_independent: bool = False, parser: str = "auto",
+                 workers: int | None = None):
         self.level = level
         self.seg_size = 8 if level < 0 else 4
         self.max_batch_blocks = max_batch_blocks
         self.block_independent = block_independent
         self.parser = parser
+        # N workers ≙ N chips: batches round-robin across devices (see
+        # ZstdCodec; frames/blocks are independent, no collectives needed)
+        self._devices = None
+        self._rr = 0
+        if workers and workers > 1:
+            devs = jax.devices()
+            if len(devs) > 1:
+                self._devices = devs[: min(workers, len(devs))]
+
+    def _put(self, arr):
+        if self._devices is None:
+            return jnp.asarray(arr)
+        dev = self._devices[self._rr % len(self._devices)]
+        self._rr += 1
+        return jax.device_put(arr, dev)
 
     def _use_hash_parser(self) -> bool:
         if self.parser in ("hash", "sort"):
@@ -143,7 +159,7 @@ class LZ4Codec:
             cap += (-cap) % 128
             interp = jax.devices()[0].platform == "cpu"
             out, olens = lz4_emit_blocks_smem(
-                jnp.asarray(D), jnp.asarray(dlens), jnp.asarray(dminr),
+                self._put(D), jnp.asarray(dlens), jnp.asarray(dminr),
                 cap, block_bytes=BLOCK, interpret=interp)
             cap_bytes = sum(lz4_compress_bound(sz) + 8
                             for _, _, sz in chunk) + 256
@@ -174,7 +190,7 @@ class LZ4Codec:
                         frames[fi], np.uint8, clen, s - clen)
                 min_ref[i] = ctx - clen
         out, olens = lz4_encode_blocks(
-            jnp.asarray(X), jnp.asarray(lens),
+            self._put(X), jnp.asarray(lens),
             seg_size=self.seg_size, ctx_len=ctx,
             min_ref=jnp.asarray(min_ref))
         return ("plain", Bp, out, olens)

@@ -27,15 +27,17 @@ from libzseek_tpu.runtime.stats import WriterStats
 DEFAULT_MIN_FRAME_SIZE = 1 << 20
 
 
-def _make_codec(codec, level):
+def _make_codec(codec, level, workers: int = 1):
     if hasattr(codec, "compress_frames"):
         return codec
     if codec == "lz4":
         from libzseek_tpu.runtime.codec import LZ4Codec
-        return LZ4Codec(level=0 if level is None else level)
+        return LZ4Codec(level=0 if level is None else level,
+                        workers=workers)
     if codec == "zstd":
         from libzseek_tpu.runtime.zstd_codec import ZstdCodec
-        return ZstdCodec(level=3 if level is None else level)
+        return ZstdCodec(level=3 if level is None else level,
+                         workers=workers)
     raise ParameterError(f"unknown codec {codec!r}")
 
 
@@ -48,7 +50,7 @@ class Writer:
         if not hasattr(sink, "write"):
             sink = zio.CallbackWriteSink(sink)
         self._sink = sink
-        self._codec = _make_codec(codec, level)
+        self._codec = _make_codec(codec, level, workers)
         self._min_frame_size = min_frame_size
         self._batch_frames = max(1, batch_frames)
         self._workers = workers

@@ -110,8 +110,19 @@ class ZstdCodec:
 
     def __init__(self, level: int = 3, max_batch_blocks: int = 64,
                  collect_hints: bool = True, parser: str = "auto",
-                 entropy: str = "auto"):
+                 entropy: str = "auto", workers: int | None = None):
         self.level = level
+        # N workers ≙ N chips (SURVEY.md §2 parallelism inventory): batches
+        # round-robin over the first `workers` devices — frames are
+        # independent compression units, so scale-out needs no collectives;
+        # the ordered fetch in the finish step is the reference's
+        # drain-in-order analog (/root/reference/src/compress.c:294-333)
+        self._devices = None
+        self._rr = 0
+        if workers and workers > 1:
+            devs = jax.devices()
+            if len(devs) > 1:
+                self._devices = devs[: min(workers, len(devs))]
         # level knob maps to candidate granularity / extension length,
         # the analog of zstd's level-indexed search parameters
         self.seg_size = 8 if level <= 1 else 4
@@ -252,7 +263,14 @@ class ZstdCodec:
             for i in range(B, Bp):
                 min_abs[i] = (i + 1) * N
             from libzseek_tpu.ops.zstd_encode import zstd_sequences_linked
-            X2d = jnp.asarray(X)
+            if self._devices is not None:
+                # commit the batch to its worker chip; every downstream op
+                # (and all small uncommitted operands) follows the data
+                dev = self._devices[self._rr % len(self._devices)]
+                self._rr += 1
+                X2d = jax.device_put(X, dev)
+            else:
+                X2d = jnp.asarray(X)
             interp = jax.devices()[0].platform == "cpu"
             seqs = zstd_sequences_linked(X2d, jnp.asarray(lens),
                                          jnp.asarray(min_abs),

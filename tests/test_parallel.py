@@ -66,3 +66,32 @@ def test_distributed_gather_single_process(eight_devices):
     frames = D.gather_frames_in_order(m, ps, ls)
     assert frames[3] == payloads[3, :4].tobytes()
     assert D.is_writer_process()
+
+
+def test_workers_round_robin_chain(eight_devices, rng):
+    """Writer(workers=N): batches round-robin across N devices — the
+    reference's nb_workers knob (/root/reference/src/zseek.h:136-139)
+    mapped to chips.  Runs the production device chain per batch on the
+    virtual CPU mesh and golden-verifies the archive."""
+    import io
+
+    from libzseek_tpu.runtime.reader import Reader
+    from libzseek_tpu.runtime.writer import Writer
+    from libzseek_tpu.runtime.zstd_codec import ZstdCodec
+    from libzseek_tpu.testing import golden
+    from libzseek_tpu.testing.corpus import mixed_corpus
+
+    data = mixed_corpus(rng, 2 << 20).tobytes()
+    codec = ZstdCodec(parser="linked", entropy="smem", workers=8,
+                      max_batch_blocks=8)
+    assert codec._devices is not None and len(codec._devices) == 8
+    buf = io.BytesIO()
+    w = Writer(buf, codec=codec, min_frame_size=1 << 18, batch_frames=2)
+    for pos in range(0, len(data), 300_000):
+        w.write(data[pos: pos + 300_000])
+    w.close()
+    arch = buf.getvalue()
+    assert codec._rr >= 2  # actually cycled devices
+    assert golden.zstd_decompress(arch) == data
+    r = Reader(arch)
+    assert r.pread_full(64_000, 1_000_000) == data[1_000_000:1_064_000]
