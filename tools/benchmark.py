@@ -59,6 +59,16 @@ def bench_compress(data: bytes, codec: str, workers: int, frame_mib: int,
                    chunk: int, terse: bool):
     from libzseek_tpu.runtime.writer import Writer
 
+    # compile warm-up: run the same shapes once so the measurement sees
+    # steady state, not executable builds (bench.py does the same; the
+    # reference's analog is loading the input to RAM first, :161-192)
+    warm = Writer(CountingSink(), codec=codec,
+                  min_frame_size=frame_mib << 20,
+                  batch_frames=max(1, workers), workers=workers)
+    for pos in range(0, len(data), chunk):
+        warm.write(data[pos: pos + chunk])
+    warm.close()
+
     sink = CountingSink()
     ru0 = resource.getrusage(resource.RUSAGE_SELF)
     t0 = time.monotonic()
