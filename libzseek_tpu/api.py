@@ -30,10 +30,46 @@ from libzseek_tpu.runtime.writer import DEFAULT_MIN_FRAME_SIZE, Writer
 
 __all__ = [
     "Writer", "Reader", "open_writer", "open_reader",
-    "zseek_writer_open", "zseek_write", "zseek_writer_close",
-    "zseek_writer_stats", "zseek_reader_open", "zseek_pread", "zseek_read",
+    "ZstdParams", "LZ4Params", "CompressionParams",
+    "zseek_writer_open", "zseek_writer_open_full", "zseek_write",
+    "zseek_writer_close", "zseek_writer_stats", "zseek_reader_open",
+    "zseek_reader_open_full", "zseek_pread", "zseek_read",
     "zseek_reader_close", "zseek_reader_stats",
 ]
+
+
+# --- per-algorithm parameter structs (zseek.h:121-159 analogs) ---
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class ZstdParams:
+    """zseek_zstd_param_t analog (/root/reference/src/zseek.h:129-140).
+    nb_workers maps to chips of the mesh (SURVEY.md §2); cpuset has no TPU
+    meaning (device selection replaces affinity) and is accepted but
+    ignored; strategy folds into `level` (our level knob selects parse
+    effort the way zstd's level indexes cParams)."""
+    compression_level: int = 3
+    nb_workers: int = 1
+    strategy: int | None = None
+    cpuset: object | None = None
+
+
+@dataclasses.dataclass
+class LZ4Params:
+    """zseek_lz4_param_t analog (/root/reference/src/zseek.h:145-148)."""
+    compression_level: int = 0
+    nb_workers: int = 1
+
+
+@dataclasses.dataclass
+class CompressionParams:
+    """zseek_compression_param_t analog (/root/reference/src/zseek.h:
+    153-159): tagged union of the per-algorithm structs."""
+    type: str = "zstd"            # "zstd" | "lz4"
+    zstd: ZstdParams | None = None
+    lz4: LZ4Params | None = None
 
 
 def _as_io(f):
@@ -81,6 +117,33 @@ def open_reader(path_or_file, *, cache_frames: int = 8) -> Reader:
 def zseek_writer_open(file, codec: str = "zstd", level: int | None = None,
                       min_frame_size: int = DEFAULT_MIN_FRAME_SIZE) -> Writer:
     return open_writer(file, codec, level=level, min_frame_size=min_frame_size)
+
+
+def zseek_writer_open_full(file, params: CompressionParams | None = None,
+                           min_frame_size: int = DEFAULT_MIN_FRAME_SIZE
+                           ) -> Writer:
+    """zseek_writer_open_full analog (/root/reference/src/zseek.h:225):
+    NULL params -> zstd defaults (level 3), like src/compress.c:251-255."""
+    if params is None:
+        return open_writer(file, "zstd", min_frame_size=min_frame_size)
+    if params.type == "zstd":
+        p = params.zstd or ZstdParams()
+        return open_writer(file, "zstd", level=p.compression_level,
+                           min_frame_size=min_frame_size,
+                           workers=p.nb_workers)
+    if params.type == "lz4":
+        p4 = params.lz4 or LZ4Params()
+        return open_writer(file, "lz4", level=p4.compression_level,
+                           min_frame_size=min_frame_size,
+                           workers=p4.nb_workers)
+    from libzseek_tpu.errors import ParameterError
+    raise ParameterError(f"unknown compression type {params.type!r}")
+
+
+def zseek_reader_open_full(file, cache_size: int = 8) -> Reader:
+    """zseek_reader_open_full analog (/root/reference/src/zseek.h:335):
+    cache_size counts frames; 0 disables the cache (streaming pread)."""
+    return open_reader(file, cache_frames=cache_size)
 
 
 def zseek_write(writer: Writer, buf) -> bool:
