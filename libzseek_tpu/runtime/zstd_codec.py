@@ -362,9 +362,9 @@ class ZstdCodec:
         cap_words = self._cap_words_for(Bp * N // 4)
         flat, base_w, lw_w = compact_payload(
             lit_w, lit_bytes_dev, seq_w, seq_bytes_dev, cap_words)
-        parts = [seqs["hist"].reshape(-1), seqs["lit_count"],
-                 seqs["n_seq"], seqs["const"], mode,
-                 weights_packed.reshape(-1), base_w, lw_w, osz.reshape(-1)]
+        parts = [seqs["lit_count"], seqs["n_seq"], seqs["const"], mode,
+                 _rle, weights_packed.reshape(-1), base_w, lw_w,
+                 osz.reshape(-1)]
         shapes = {"lanch": lanch.shape, "sanch": sanch.shape}
         if self.collect_hints:
             parts += [lanch.reshape(-1), sanch.reshape(-1)]
@@ -401,11 +401,11 @@ class ZstdCodec:
             pos += n
             return out.reshape(shape) if shape else out
 
-        hist = take(Bp * 256, (Bp, 256))
         lit_count = take(Bp)
         n_seq = take(Bp)
         const = take(Bp)
         mode = take(Bp)
+        rle_byte = take(Bp)
         weights_packed = take(Bp * 32, (Bp, 32))
         base_w = take(Bp)
         lw_w = take(Bp)
@@ -469,8 +469,9 @@ class ZstdCodec:
                    lit_anchors=lit_anchors, sa_bits=sa_bits,
                    sa_states=sa_states, sa_rep1=sa_rep1,
                    lit_rows=lit_rows, modes=modes)
-        out = self._assemble(B, lens, lit_count[:B], n_seq[:B], hist[:B],
-                             modes, trees, ent, const=const[:B])
+        out = self._assemble(B, lens, lit_count[:B], n_seq[:B], None,
+                             modes, trees, ent, const=const[:B],
+                             rle=rle_byte)
         mark("assemble")
         if prof:
             import sys
@@ -834,7 +835,7 @@ class ZstdCodec:
                     modes=modes)
 
     def _assemble(self, B, lens, lit_count, n_seq, hist, modes, trees, ent,
-                  const=None):
+                  const=None, rle=None):
         """Build per-block payloads + decode hints from fetched streams."""
         sizes4 = ent["sizes4"]
         seq_sizes = ent["seq_sizes"]
@@ -862,7 +863,9 @@ class ZstdCodec:
             if modes[i] == "none":
                 lit_sec = _lit_section_raw(b"")
             elif modes[i] == "rle":
-                lit_sec = _lit_section_rle(int(np.argmax(hist[i])), lc)
+                b = int(rle[i]) if rle is not None \
+                    else int(np.argmax(hist[i]))
+                lit_sec = _lit_section_rle(b, lc)
             elif modes[i] == "huf1":
                 lo = 4 * int(base_w[i])
                 payload = trees[i] + \
