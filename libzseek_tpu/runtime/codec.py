@@ -99,7 +99,8 @@ class LZ4Codec:
                 assert fidx == fi
                 payload = comp_payloads[cursor]
                 cursor += 1
-                if len(payload) >= sz:  # incompressible: store raw
+                if payload is None or len(payload) >= sz:
+                    # incompressible: store raw from the host's bytes
                     blocks.append((bytes(fr[s: s + sz]), True))
                 else:
                     blocks.append((payload, False))
@@ -161,13 +162,21 @@ class LZ4Codec:
             out, olens = lz4_emit_blocks_smem(
                 self._put(D), jnp.asarray(dlens), jnp.asarray(dminr),
                 cap, block_bytes=BLOCK, interpret=interp)
+            # blocks whose LZ4 output reaches the raw size are stored raw
+            # from the HOST's original bytes at assembly — exclude their
+            # payloads from the compaction so the fetch never moves them
+            # (incompressible blocks would otherwise dominate the downlink)
+            sizes = np.zeros((Bp,), np.int32)
+            for i, (_, _, sz) in enumerate(chunk):
+                sizes[i] = sz
+            live = jnp.where(olens < jnp.asarray(sizes), olens, 0)
             cap_bytes = sum(lz4_compress_bound(sz) + 8
                             for _, _, sz in chunk) + 256
             cap_words = max(1024, 1 << int(cap_bytes // 4).bit_length())
             dummy = jnp.zeros((Bp, 1), jnp.uint32)
             zb = jnp.zeros((Bp,), jnp.int32)
             flat, base_w, _lw = compact_payload(
-                jax.lax.bitcast_convert_type(out, jnp.uint32), olens,
+                jax.lax.bitcast_convert_type(out, jnp.uint32), live,
                 dummy, zb, cap_words)
             meta = jnp.concatenate([olens, base_w,
                                     jax.lax.bitcast_convert_type(
@@ -176,7 +185,7 @@ class LZ4Codec:
                 meta.copy_to_host_async()
             except Exception:
                 pass
-            return ("fused", Bp, meta)
+            return ("fused", Bp, sizes, meta)
         X = np.zeros((Bp, ctx + BLOCK), np.uint8)
         lens = np.zeros((Bp,), np.int32)
         min_ref = np.zeros((Bp,), np.int32)
@@ -198,12 +207,14 @@ class LZ4Codec:
     def _finish_batch(self, B, staged) -> list[bytes]:
         """Fetch one batch's results -> per-block payload bytes."""
         if staged[0] == "fused":
-            _, Bp, meta = staged
+            _, Bp, sizes, meta = staged
             fetched = np.asarray(meta)
             olens = fetched[:Bp]
             base_w = fetched[Bp: 2 * Bp]
             flat = fetched[2 * Bp:].view(np.uint8)
-            return [flat[4 * int(base_w[i]): 4 * int(base_w[i]) +
+            # None = store raw (payload was excluded from the fetch)
+            return [None if olens[i] >= sizes[i] else
+                    flat[4 * int(base_w[i]): 4 * int(base_w[i]) +
                          int(olens[i])].tobytes() for i in range(B)]
         _, Bp, out, olens = staged
         out = np.asarray(out)[:B]
