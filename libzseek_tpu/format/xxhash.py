@@ -63,3 +63,80 @@ def xxh32(data: bytes, seed: int = 0) -> int:
     h = (h * _P3) & _M32
     h ^= h >> 16
     return h
+
+
+# --- XXH64 (zstd seekable per-frame checksum = low 32 bits of XXH64 of the
+# uncompressed frame, per the zstd contrib spec; the reference never emits
+# them — checksumFlag is always 0, /root/reference/src/compress.c:152) ---
+
+_Q1 = 0x9E3779B185EBCA87
+_Q2 = 0xC2B2AE3D27D4EB4F
+_Q3 = 0x165667B19E3779F9
+_Q4 = 0x85EBCA77C2B2AE63
+_Q5 = 0x27D4EB2F165667C5
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round64(acc: int, lane: int) -> int:
+    acc = (acc + lane * _Q2) & _M64
+    return (_rotl64(acc, 31) * _Q1) & _M64
+
+
+def _merge64(h: int, acc: int) -> int:
+    h ^= _round64(0, acc)
+    return ((h * _Q1) + _Q4) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """Reference-exact XXH64.  Uses the native module when available (the
+    pure-Python stripe loop is the fallback, fine for tests/cold paths)."""
+    from libzseek_tpu import native
+    if native.have_native():
+        h = native.xxh64(data, seed)
+        if h is not None:
+            return h
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _Q1 + _Q2) & _M64
+        v2 = (seed + _Q2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _Q1) & _M64
+        u = np.frombuffer(data[: n & ~31], "<u8")
+        for k in range(0, len(u), 4):
+            v1 = _round64(v1, int(u[k]))
+            v2 = _round64(v2, int(u[k + 1]))
+            v3 = _round64(v3, int(u[k + 2]))
+            v4 = _round64(v4, int(u[k + 3]))
+        i = n & ~31
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12)
+             + _rotl64(v4, 18)) & _M64
+        h = _merge64(h, v1)
+        h = _merge64(h, v2)
+        h = _merge64(h, v3)
+        h = _merge64(h, v4)
+    else:
+        h = (seed + _Q5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _round64(0, int.from_bytes(data[i: i + 8], "little"))
+        h = (_rotl64(h, 27) * _Q1 + _Q4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i: i + 4], "little") * _Q1) & _M64
+        h = (_rotl64(h, 23) * _Q2 + _Q3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _Q5) & _M64
+        h = (_rotl64(h, 11) * _Q1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _Q2) & _M64
+    h ^= h >> 29
+    h = (h * _Q3) & _M64
+    h ^= h >> 32
+    return h

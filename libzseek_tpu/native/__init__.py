@@ -36,6 +36,9 @@ def _load():
     lib.zn_huf_build_batch.restype = None
     lib.zn_huf_tree_batch.argtypes = [u8p, ctypes.c_int, u8p, i32p]
     lib.zn_huf_tree_batch.restype = None
+    lib.zn_xxh64.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                             ctypes.c_uint64]
+    lib.zn_xxh64.restype = ctypes.c_uint64
     lib.zn_seektable_serialize.argtypes = [u32p, ctypes.c_int64, u8p]
     lib.zn_seektable_serialize.restype = ctypes.c_int64
     lib.zn_seektable_parse.argtypes = [u8p, ctypes.c_int64, i64p]
@@ -96,6 +99,13 @@ def huf_tree_batch(weights: np.ndarray) -> list[bytes | None]:
         except FormatError:
             out.append(None)
     return out
+
+
+def xxh64(data: bytes, seed: int = 0) -> int | None:
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.zn_xxh64(bytes(data), len(data), seed))
 
 
 def seektable_serialize(entries: np.ndarray) -> bytes:

@@ -38,7 +38,8 @@ DEFAULT_CACHE_FRAMES = 8
 
 class Reader:
     def __init__(self, source, *, cache_frames: int = DEFAULT_CACHE_FRAMES,
-                 codec=None, level: int | None = None, readahead: int = 8):
+                 codec=None, level: int | None = None, readahead: int = 8,
+                 verify_checksums: bool = False):
         if isinstance(source, (bytes, bytearray, memoryview)):
             source = zio.BytesIOSource(bytes(source))
         if not hasattr(source, "pread"):
@@ -74,6 +75,10 @@ class Reader:
         # decode + the slow device->host transfer overlap delivery)
         self._ahead: tuple[int, int, object] | None = None
         self._pf_pool = None
+        # opt-in verification of per-frame seek-table checksums (low 32
+        # bits of XXH64 of the decompressed frame) when the table has them
+        self._verify = bool(verify_checksums) and \
+            self._table.checksums is not None
         self._hints = self._load_hints() \
             if getattr(self._codec, "supports_hints", False) else None
 
@@ -154,6 +159,8 @@ class Reader:
                 datas, d_sizes, [self._frame_hints(i) for i in need])
         else:
             frames = self._codec.decompress_frames(datas, d_sizes)
+        for i, fr in zip(need, frames):
+            self._check_frame(i, fr)
         if self._cache is not None:
             with self._lock:
                 for i, fr in zip(need, frames):
@@ -205,6 +212,17 @@ class Reader:
     def _frame_hints(self, idx: int):
         return self._hints[idx] if self._hints is not None else None
 
+    def _check_frame(self, idx: int, frame: bytes) -> None:
+        if not self._verify:
+            return
+        from libzseek_tpu.format.xxhash import xxh64
+        want = int(self._table.checksums[idx])
+        got = xxh64(frame) & 0xFFFFFFFF
+        if got != want:
+            raise FormatError(
+                f"frame {idx} checksum mismatch: {got:#010x} != "
+                f"{want:#010x}")
+
     def _read_frame_bytes(self, idx: int) -> bytes:
         off = self._table.frame_c_offset(idx)
         size = self._table.frame_c_size(idx)
@@ -237,6 +255,8 @@ class Reader:
                     datas, d_sizes, [self._frame_hints(i) for i in idxs])
             else:
                 frames = self._codec.decompress_frames(datas, d_sizes)
+            for i, fr in zip(idxs, frames):
+                self._check_frame(i, fr)
             with self._lock:
                 for i, fr in zip(idxs, frames):
                     if self._cache.find(i) is None:
@@ -283,6 +303,8 @@ class Reader:
                 datas, d_sizes, [self._frame_hints(i) for i in idxs])
         else:
             frames = self._codec.decompress_frames(datas, d_sizes)
+        for i, fr in zip(idxs, frames):
+            self._check_frame(i, fr)
         if self._cache is not None:
             with self._lock:
                 # double-checked: a concurrent reader may have inserted it

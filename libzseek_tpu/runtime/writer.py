@@ -44,7 +44,8 @@ def _make_codec(codec, level, workers: int = 1):
 class Writer:
     def __init__(self, sink, codec="zstd", *, level: int | None = None,
                  min_frame_size: int = DEFAULT_MIN_FRAME_SIZE,
-                 batch_frames: int = 8, workers: int = 1):
+                 batch_frames: int = 8, workers: int = 1,
+                 checksums: bool = False):
         if min_frame_size <= 0:
             raise ParameterError("min_frame_size must be positive")
         if not hasattr(sink, "write"):
@@ -54,7 +55,11 @@ class Writer:
         self._min_frame_size = min_frame_size
         self._batch_frames = max(1, batch_frames)
         self._workers = workers
-        self._framelog = FrameLog()
+        # per-frame seek-table checksums (low 32 bits of XXH64 of the
+        # uncompressed frame, zstd seekable spec).  Off by default like the
+        # reference (checksumFlag=0, /root/reference/src/compress.c:152)
+        self._checksums = bool(checksums)
+        self._framelog = FrameLog(checksum_flag=self._checksums)
         self._buffer = bytearray()
         self._queue: list[bytes] = []   # completed raw frames pending device
         self._closed = False
@@ -143,7 +148,8 @@ class Writer:
             compressed = self._codec.compress_frames(frames)
         for raw, comp in zip(frames, compressed):
             self._sink.write(comp)
-            self._framelog.log_frame(len(comp), len(raw))
+            self._framelog.log_frame(len(comp), len(raw),
+                                     checksum=self._frame_checksum(raw))
             self._stats.compressed_size += len(comp)
 
     def _write_out(self, groups) -> None:
@@ -154,8 +160,15 @@ class Writer:
                 self._hints.extend(fhints)
             for raw, comp in zip(raw_frames, compressed):
                 self._sink.write(comp)
-                self._framelog.log_frame(len(comp), len(raw))
+                self._framelog.log_frame(len(comp), len(raw),
+                                         checksum=self._frame_checksum(raw))
                 self._stats.compressed_size += len(comp)
+
+    def _frame_checksum(self, raw: bytes) -> int:
+        if not self._checksums:
+            return 0
+        from libzseek_tpu.format.xxhash import xxh64
+        return xxh64(raw) & 0xFFFFFFFF
 
     def _refresh_stats(self) -> None:
         st = self._stats
