@@ -264,87 +264,153 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
             l = l + ok
         return l
 
+    # --- tagged hash table ------------------------------------------
+    # Entries pack {tag:7, pos:24} with the sign bit left clear (-1 =
+    # empty): pos is the absolute batch position (the wrapper asserts
+    # batches stay under 2^24 bytes) and tag is 7 extra bits of the same
+    # hash product.  A probe whose tag mismatches is rejected with
+    # register ops only — previously EVERY probe paid a dual-buffer
+    # window load (w32(cand)) to compare candidate bytes.  The hash
+    # covers 5 bytes (= min_match, so 4-byte-only candidates could never
+    # pass the gate anyway); the strict arm — low-entropy blocks whose
+    # gate rejects short matches — hashes 8 bytes, so genuine 4-7 byte
+    # matches no longer reach the extend/backward/gate work at all (they
+    # used to dominate parse time on text-like blocks).
+    TAG_SH = 24
+
     def make_body(strict: bool):
-        # single branch per probe (scalar branches cost ~a probe each);
-        # the profitability gate is a select inside the match arm.
-        # strict arm: the block's entropy is low enough that the gate
-        # rejects all matches shorter than ~6-8 bytes, so candidates must
-        # also match their SECOND word before the expensive extend/
-        # backward/gate work runs — mis-gated 4-7 byte candidates are what
-        # used to dominate parse time on text-like blocks
+        def sig(w, ext):
+            # bucket + tag from one hash multiply: the top hash_log
+            # product bits index the table, the 7 bits below are the tag
+            u = (w.astype(jnp.uint32) ^
+                 (ext * np.uint32(0x9E3779B1))) * PRIME
+            h = (u >> shift).astype(jnp.int32)
+            tag = (u >> (shift - np.uint32(7))).astype(jnp.int32) & 0x7F
+            return h, tag
+
+        def probe_sig(ip):
+            # unclamped loads: probes stay >= 12 bytes from block end
+            j = ip - block_bytes
+            q = j >> 2
+            sh = ((j & 3) * 8).astype(jnp.uint32)
+            lo = cur_ref[0, 0, q].astype(jnp.uint32)
+            hi = cur_ref[0, 0, q + 1].astype(jnp.uint32)
+            nz = jnp.uint32(32) - sh
+            w = ((lo >> sh) | jnp.where(
+                sh == 0, jnp.uint32(0), hi << nz)).astype(jnp.int32)
+            if strict:
+                ext = (hi >> sh) | jnp.where(
+                    sh == 0, jnp.uint32(0),
+                    cur_ref[0, 0, q + 2].astype(jnp.uint32) << nz)
+                w2 = ext.astype(jnp.int32)
+            else:
+                ext = (hi >> sh) & jnp.uint32(0xFF)   # byte 5
+                w2 = jnp.int32(0)
+            h, tag = sig(w, ext)
+            return w, w2, h, tag
+
+        def insert_at(p):
+            # clamped variant for in-match inserts (may sit near the end)
+            j = p - block_bytes
+            q = j >> 2
+            sh = ((j & 3) * 8).astype(jnp.uint32)
+            lo = cur_ref[0, 0, q].astype(jnp.uint32)
+            hi = cur_ref[0, 0, jnp.minimum(q + 1, NW - 1)].astype(jnp.uint32)
+            nz = jnp.uint32(32) - sh
+            w = ((lo >> sh) | jnp.where(
+                sh == 0, jnp.uint32(0), hi << nz)).astype(jnp.int32)
+            if strict:
+                w3 = cur_ref[0, 0, jnp.minimum(q + 2, NW - 1)
+                             ].astype(jnp.uint32)
+                ext = (hi >> sh) | jnp.where(
+                    sh == 0, jnp.uint32(0), w3 << nz)
+            else:
+                ext = (hi >> sh) & jnp.uint32(0xFF)
+            h, tag = sig(w, ext)
+            table_ref[h] = (base + p) | (tag << TAG_SH)
+
+        # one scalar branch per probe (branches cost ~a probe each); the
+        # byte confirmation + profitability gate run inside the match arm
         def body(state):
             ip, anchor, cnt, miss = state
-            w = w32_c(ip)
-            h = ((w.astype(jnp.uint32) * PRIME) >> shift).astype(jnp.int32)
-            cand_abs = table_ref[h]
-            table_ref[h] = base + ip
-            dist = base + ip - cand_abs
-            cand = cand_abs - base  # window position (>= 0 when usable)
-            good = (cand_abs >= min_abs) & (dist <= max_offset) & \
+            w, w2, h, tag = probe_sig(ip)
+            entry = table_ref[h]
+            pos = base + ip
+            table_ref[h] = pos | (tag << TAG_SH)
+            cand_abs = entry & 0xFFFFFF
+            dist = pos - cand_abs
+            # range check as one unsigned compare: rejects dist <= 0 too
+            # (a dist <= 0 candidate would otherwise be reachable through
+            # a future-position insert; see the le clamp below)
+            good = ((entry >> TAG_SH) == tag) & (cand_abs >= min_abs) & \
+                (jnp.uint32(dist - 1) <= jnp.uint32(max_offset - 1)) & \
                 (cnt < cap)
-            good = good & (w32(jnp.clip(cand, 0, 8 * CW)) == w)
-            if strict:
-                good = good & (w32_c(ip + 4) ==
-                               w32(jnp.clip(cand + 4, 0, 8 * CW)))
-            return _probe_tail(state, ip, anchor, cnt, miss, w, dist, cand,
-                               good)
+            cand = cand_abs - base  # window position (>= 0 when good)
+
+            def do_match(_):
+                # confirm actual bytes (tag/bucket collisions happen);
+                # unconfirmed candidates fall back to miss semantics
+                conf = w32(cand) == w
+                if strict:
+                    conf = conf & (w32(cand + 4) == w2)
+                l = extend(ip, cand)
+
+                # keep the table alive across the matched span: without
+                # these the next block has nothing in-window to match
+                # after a long run (the 128K offset cap excludes the
+                # previous block's head), re-paying the literal intro
+                # every block on periodic data.  le clamps the inserts on
+                # UNCONFIRMED candidates: the walk resumes at ip+1 there,
+                # and a store ahead of the probe pointer would later be
+                # read back as a bogus dist<=0 "candidate" of itself
+                le = jnp.where(conf, l, jnp.int32(2))
+
+                def ins(k, _):
+                    insert_at(ip + (k << 5))
+                    return 0
+
+                jax.lax.fori_loop(1, le >> 5, ins, 0)
+                insert_at(ip + le - 2)
+                # backward extension (zstd-fast does the same): the miss
+                # accelerator can step past a match's true start; walk
+                # back over equal bytes to the previous anchor / fence
+                minw = min_abs - base
+
+                def bcond(k):
+                    return (ip - k > anchor) & (cand - k > minw) & \
+                        (byte_c(ip - k - 1) ==
+                         byte(jnp.maximum(cand - k - 1, 0)))
+
+                kb = jax.lax.while_loop(bcond, lambda k: k + 1,
+                                        jnp.int32(0))
+                ips = ip - kb
+                lf = l + kb
+                # profitability gate: a sequence costs ~gate_bits state/
+                # extra bits + log2(offset_value) offset bits vs ~H bits
+                # per literal byte; min_match mirrors zstd level 3's
+                # cParams.minMatch.  Branch-free: gated-out/unconfirmed
+                # matches write to slot cnt anyway (the next survivor
+                # overwrites) and just don't advance cnt/anchor.
+                ebits = 31 - jax.lax.clz(dist + 3)
+                keep = conf & (lf >= min_match) & \
+                    (lf * h16 > (gate_bits + ebits) * 16)
+                ll_ref[0, 0, cnt] = ips - anchor
+                ml_ref[0, 0, cnt] = lf
+                off_ref[0, 0, cnt] = dist + 3
+                ipn = jnp.where(conf, ip + l, ip + 1 + (miss >> 6))
+                return (ipn, jnp.where(keep, ip + l, anchor),
+                        cnt + keep,
+                        jnp.where(conf, jnp.int32(0), miss + 1))
+
+            def do_miss(_):
+                return ip + 1 + (miss >> 6), anchor, cnt, miss + 1
+
+            return jax.lax.cond(good, do_match, do_miss, None)
         return body
 
-    def _probe_tail(state, ip, anchor, cnt, miss, w, dist, cand, good):
-
-        def do_match(_):
-            l = extend(ip, cand)
-            # keep the table alive across the matched span: without these
-            # the next block has nothing in-window to match after a long
-            # run (the 128K offset cap excludes the previous block's head),
-            # re-paying the literal intro every block on periodic data
-            def ins(k, _):
-                p = ip + (k << 5)
-                w2 = w32_c(p)
-                h2 = ((w2.astype(jnp.uint32) * PRIME)
-                      >> shift).astype(jnp.int32)
-                table_ref[h2] = base + p
-                return 0
-
-            jax.lax.fori_loop(1, l >> 5, ins, 0)
-            pe_ = ip + l - 2
-            we = w32_c(pe_)
-            he = ((we.astype(jnp.uint32) * PRIME) >> shift).astype(jnp.int32)
-            table_ref[he] = base + pe_
-            # backward extension (zstd-fast does the same): the miss
-            # accelerator can step past a match's true start; walk back
-            # over equal bytes up to the previous anchor / window fence
-            minw = min_abs - base
-
-            def bcond(k):
-                return (ip - k > anchor) & (cand - k > minw) & \
-                    (byte_c(ip - k - 1) ==
-                     byte(jnp.maximum(cand - k - 1, 0)))
-
-            kb = jax.lax.while_loop(bcond, lambda k: k + 1, jnp.int32(0))
-            ips = ip - kb
-            lf = l + kb
-            # profitability gate: a sequence costs ~gate_bits state/extra
-            # bits + log2(offset_value) offset bits vs ~H bits/literal
-            # byte; min_match mirrors zstd level 3's cParams.minMatch.
-            # Branch-free: gated-out matches write to slot cnt anyway (the
-            # next survivor overwrites) and just don't advance cnt/anchor.
-            ebits = 31 - jax.lax.clz(dist + 3)
-            keep = (lf >= min_match) & (lf * h16 > (gate_bits + ebits) * 16)
-            ll_ref[0, 0, cnt] = ips - anchor
-            ml_ref[0, 0, cnt] = lf
-            off_ref[0, 0, cnt] = dist + 3
-            return (ip + l, jnp.where(keep, ip + l, anchor),
-                    cnt + keep, jnp.int32(0))
-
-        def do_miss(_):
-            return ip + 1 + (miss >> 6), anchor, cnt, miss + 1
-
-        return jax.lax.cond(good, do_match, do_miss, None)
-
     # gate break-even length at a typical offset cost (ebits ~ 10): when
-    # even ~5-byte matches cannot pass the gate the strict arm runs,
-    # pre-filtering candidates on their second word too
+    # even ~5-6 byte matches cannot pass the gate the strict arm runs,
+    # with the hash/tag committed to 8 candidate bytes
     strict_blk = 6 * h16 <= (gate_bits + 10) * 16
     ip0 = jnp.int32(block_bytes)
 
@@ -385,6 +451,8 @@ def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
     are final sequence fields (ll = literal run before the match)."""
     B1, N = x2.shape
     B = B1 - 1
+    # table entries pack absolute positions into 24 bits (7-bit tag above)
+    assert B1 * N <= (1 << 24), "batch too large for tagged-table positions"
     NW = N // 4
     words = jax.lax.bitcast_convert_type(
         x2.reshape(B1, NW, 4), jnp.int32)
