@@ -398,9 +398,14 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
                 ml_ref[0, 0, cnt] = lf
                 off_ref[0, 0, cnt] = dist + 3
                 ipn = jnp.where(conf, ip + l, ip + 1 + (miss >> 6))
+                # only a KEPT match resets the miss accelerator: on
+                # text-like blocks nearly every candidate confirms 4-7
+                # bytes and is then gated out — treating those as misses
+                # lets the step grow through unprofitable regions (the
+                # backward extension recovers overstepped match starts)
                 return (ipn, jnp.where(keep, ip + l, anchor),
                         cnt + keep,
-                        jnp.where(conf, jnp.int32(0), miss + 1))
+                        jnp.where(keep, jnp.int32(0), miss + 1))
 
             def do_miss(_):
                 return ip + 1 + (miss >> 6), anchor, cnt, miss + 1
