@@ -80,12 +80,14 @@ def _as_io(f):
 
 def open_writer(path_or_file, codec: str = "zstd", *, level: int | None = None,
                 min_frame_size: int = DEFAULT_MIN_FRAME_SIZE,
-                batch_frames: int = 8, workers: int = 1) -> Writer:
+                batch_frames: int = 8, workers: int = 1,
+                checksums: bool = False) -> Writer:
     if isinstance(path_or_file, (str, Path)):
         f = open(path_or_file, "wb")
         sink = FileIO(f)
         w = Writer(sink, codec, level=level, min_frame_size=min_frame_size,
-                   batch_frames=batch_frames, workers=workers)
+                   batch_frames=batch_frames, workers=workers,
+                   checksums=checksums)
         w._owned_file = f  # closed by Writer.close via __exit__ chain
         _orig_close = w.close
 
@@ -100,16 +102,25 @@ def open_writer(path_or_file, codec: str = "zstd", *, level: int | None = None,
     if isinstance(path_or_file, io.IOBase):
         sink = FileIO(path_or_file)
     return Writer(sink, codec, level=level, min_frame_size=min_frame_size,
-                  batch_frames=batch_frames, workers=workers)
+                  batch_frames=batch_frames, workers=workers,
+                  checksums=checksums)
 
 
-def open_reader(path_or_file, *, cache_frames: int = 8) -> Reader:
+def open_reader(path_or_file, *, cache_frames: int = 8,
+                verify_checksums: bool = False,
+                device_cache: bool = False) -> Reader:
     if isinstance(path_or_file, (str, Path)):
         f = open(path_or_file, "rb")
-        return Reader(FileIO(f), cache_frames=cache_frames)
+        return Reader(FileIO(f), cache_frames=cache_frames,
+                      verify_checksums=verify_checksums,
+                      device_cache=device_cache)
     if isinstance(path_or_file, io.IOBase):
-        return Reader(FileIO(path_or_file), cache_frames=cache_frames)
-    return Reader(path_or_file, cache_frames=cache_frames)
+        return Reader(FileIO(path_or_file), cache_frames=cache_frames,
+                      verify_checksums=verify_checksums,
+                      device_cache=device_cache)
+    return Reader(path_or_file, cache_frames=cache_frames,
+                  verify_checksums=verify_checksums,
+                  device_cache=device_cache)
 
 
 # --- C-API-shaped compatibility layer ---
@@ -120,22 +131,25 @@ def zseek_writer_open(file, codec: str = "zstd", level: int | None = None,
 
 
 def zseek_writer_open_full(file, params: CompressionParams | None = None,
-                           min_frame_size: int = DEFAULT_MIN_FRAME_SIZE
-                           ) -> Writer:
+                           min_frame_size: int = DEFAULT_MIN_FRAME_SIZE,
+                           checksums: bool = False) -> Writer:
     """zseek_writer_open_full analog (/root/reference/src/zseek.h:225):
-    NULL params -> zstd defaults (level 3), like src/compress.c:251-255."""
+    NULL params -> zstd defaults (level 3), like src/compress.c:251-255.
+    `checksums` turns on per-frame seek-table checksums (zstd seekable
+    format checksumFlag; the reference leaves it 0, src/compress.c:152)."""
     if params is None:
-        return open_writer(file, "zstd", min_frame_size=min_frame_size)
+        return open_writer(file, "zstd", min_frame_size=min_frame_size,
+                           checksums=checksums)
     if params.type == "zstd":
         p = params.zstd or ZstdParams()
         return open_writer(file, "zstd", level=p.compression_level,
                            min_frame_size=min_frame_size,
-                           workers=p.nb_workers)
+                           workers=p.nb_workers, checksums=checksums)
     if params.type == "lz4":
         p4 = params.lz4 or LZ4Params()
         return open_writer(file, "lz4", level=p4.compression_level,
                            min_frame_size=min_frame_size,
-                           workers=p4.nb_workers)
+                           workers=p4.nb_workers, checksums=checksums)
     from libzseek_tpu.errors import ParameterError
     raise ParameterError(f"unknown compression type {params.type!r}")
 

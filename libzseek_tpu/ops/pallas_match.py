@@ -398,14 +398,16 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
                 ml_ref[0, 0, cnt] = lf
                 off_ref[0, 0, cnt] = dist + 3
                 ipn = jnp.where(conf, ip + l, ip + 1 + (miss >> 6))
-                # only a KEPT match resets the miss accelerator: on
-                # text-like blocks nearly every candidate confirms 4-7
-                # bytes and is then gated out — treating those as misses
-                # lets the step grow through unprofitable regions (the
-                # backward extension recovers overstepped match starts)
+                # a KEPT match resets the miss accelerator; a CONFIRMED but
+                # gated-out match halves it instead of incrementing —
+                # matchable structure is nearby, so the stride must not
+                # compound through a run of unprofitable short matches
+                # (backward extension can only recover the equal-byte run
+                # back to the anchor, not a fully overstepped match start)
+                missn = jnp.where(keep, jnp.int32(0),
+                                  jnp.where(conf, miss >> 1, miss + 1))
                 return (ipn, jnp.where(keep, ip + l, anchor),
-                        cnt + keep,
-                        jnp.where(keep, jnp.int32(0), miss + 1))
+                        cnt + keep, missn)
 
             def do_miss(_):
                 return ip + 1 + (miss >> 6), anchor, cnt, miss + 1

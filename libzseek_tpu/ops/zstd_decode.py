@@ -777,12 +777,18 @@ def _scatter_chunks(plane_flat, syms, dst, n, use):
 
 
 def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
-                  hints: list | None = None) -> list[bytes]:
+                  hints: list | None = None, to_device: bool = False):
     """Decode a batch of zstd frames to their uncompressed bytes.
 
     hints: optional per-frame decode-anchor lists (format/hints.py) — when
     present and consistent, Huffman/FSE streams decode as anchored chunk
-    lanes instead of full-stream serial walks."""
+    lanes instead of full-stream serial walks.
+
+    to_device: return per-frame DEVICE uint8 arrays instead of host bytes —
+    the decompressed frame never crosses to the host (HBM-resident frame
+    cache / bounded-host-memory pread; the reference's equivalent is the
+    stream-and-discard no-cache path, /root/reference/src/decompress.c:
+    377-468, whose host footprint is window-bounded)."""
     if not datas:
         return []
     if d_sizes is None:
@@ -1123,9 +1129,27 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
             plane.reshape(BLp, LW, 4), jnp.int32)
         _mark('exec_setup')
         from libzseek_tpu.ops.pallas_match import execute_blocks_smem
-        outw = np.asarray(execute_blocks_smem(
+        outw_dev = execute_blocks_smem(
             lit_words, jnp.asarray(lla), jnp.asarray(mla),
-            jnp.asarray(offa), jnp.asarray(meta)))
+            jnp.asarray(offa), jnp.asarray(meta))
+        if to_device:
+            # assemble per-frame device arrays; block contents are already
+            # host-validated against the declared frame size above
+            bytes_dev = jax.lax.bitcast_convert_type(
+                outw_dev.reshape(BLp, 1 << 15, 1), jnp.uint8
+            ).reshape(BLp, 1 << 17)
+            results_dev = []
+            cursor = 0
+            for p in plans:
+                parts = []
+                for bp in p.blocks:
+                    rec = block_recs[cursor]
+                    cursor += 1
+                    parts.append(bytes_dev[cursor - 1, : rec[6]])
+                results_dev.append(parts[0] if len(parts) == 1
+                                   else jnp.concatenate(parts))
+            return results_dev
+        outw = np.asarray(outw_dev)
         _mark('exec_smem')
         results: list[bytes] = []
         cursor = 0
@@ -1224,7 +1248,9 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
             arrs[k][i, : len(fe[k + 1])] = fe[k + 1]
     out, ok = execute_sequences(jnp.asarray(pool),
                                 *[jnp.asarray(a) for a in arrs], F)
-    out = np.asarray(out)
     if not np.asarray(ok).all():
         raise FormatError("match offset before frame start")
+    if to_device:
+        return [out[i, : fe[7]] for i, fe in enumerate(frames_exec)]
+    out = np.asarray(out)
     return [out[i, : fe[7]].tobytes() for i, fe in enumerate(frames_exec)]

@@ -41,6 +41,7 @@ class LZ4Codec:
     """
 
     name = "lz4"
+    supports_device_frames = True
 
     def __init__(self, level: int = 0, max_batch_blocks: int = 256,
                  block_independent: bool = False, parser: str = "auto",
@@ -229,9 +230,12 @@ class LZ4Codec:
         out = self.decompress_frames([data], [d_size])
         return out[0]
 
-    def decompress_frames(self, datas: list[bytes], d_sizes: list[int]) -> list[bytes]:
+    def decompress_frames(self, datas: list[bytes], d_sizes: list[int],
+                          to_device: bool = False) -> list[bytes]:
         """Decode a batch of LZ4F frames.  Frames are grouped by padded
-        geometry so each group is one kernel call."""
+        geometry so each group is one kernel call.  to_device returns
+        device-resident uint8 arrays (HBM frame cache / bounded-host-memory
+        pread) instead of host bytes."""
         parsed = []
         for data in datas:
             info = lz4f.parse_frame_header(data)
@@ -262,7 +266,9 @@ class LZ4Codec:
             out, out_lens, ok = lz4_decode_frames(
                 jnp.asarray(comp), jnp.asarray(clens), jnp.asarray(unc),
                 F, linked=linked)
-            out = np.asarray(out)
+            out_dev = out
+            if not to_device:
+                out = np.asarray(out)
             out_lens = np.asarray(out_lens)
             ok = np.asarray(ok)
             for r, i in enumerate(idxs):
@@ -272,7 +278,8 @@ class LZ4Codec:
                     raise FormatError(
                         f"LZ4 frame decoded to {out_lens[r]} bytes, "
                         f"expected {d_sizes[i]}")
-                results[i] = out[r, : out_lens[r]].tobytes()
+                results[i] = (out_dev[r, : int(out_lens[r])] if to_device
+                              else out[r, : out_lens[r]].tobytes())
         return results  # type: ignore[return-value]
 
 

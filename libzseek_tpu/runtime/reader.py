@@ -39,7 +39,15 @@ DEFAULT_CACHE_FRAMES = 8
 class Reader:
     def __init__(self, source, *, cache_frames: int = DEFAULT_CACHE_FRAMES,
                  codec=None, level: int | None = None, readahead: int = 8,
-                 verify_checksums: bool = False):
+                 verify_checksums: bool = False,
+                 device_cache: bool = False):
+        """device_cache=True keeps decompressed frames DEVICE-resident (HBM
+        frame cache): cached entries are jax uint8 arrays and pread fetches
+        only the requested span to the host.  cache_frames=0 (no cache)
+        also decodes device-resident and fetches only the span, so host
+        memory stays bounded by the request size — the parity analog of the
+        reference's stream-and-discard no-cache path
+        (/root/reference/src/decompress.c:377-468)."""
         if isinstance(source, (bytes, bytearray, memoryview)):
             source = zio.BytesIOSource(bytes(source))
         if not hasattr(source, "pread"):
@@ -81,6 +89,12 @@ class Reader:
             self._table.checksums is not None
         self._hints = self._load_hints() \
             if getattr(self._codec, "supports_hints", False) else None
+        # device-resident frames: opt-in via device_cache, and the default
+        # for the no-cache path (bounded host memory) when the codec can
+        # decode to device arrays
+        self._device_frames = (
+            (bool(device_cache) or cache_frames <= 0)
+            and getattr(self._codec, "supports_device_frames", False))
 
     # --- public API ---
 
@@ -104,8 +118,10 @@ class Reader:
         if offset >= total or size == 0:
             return b""
         idx = self._table.frame_for_offset(offset)
-        frame = self._get_frame(idx)
         in_off = offset - self._table.frame_d_offset(idx)
+        if self._device_frames:
+            return self._pread_span(idx, in_off, size)
+        frame = self._get_frame(idx)
         return frame[in_off: in_off + size]
 
     def pread_full(self, size: int, offset: int) -> bytes:
@@ -154,11 +170,12 @@ class Reader:
             return
         datas = [self._read_frame_bytes(i) for i in need]
         d_sizes = [self._table.frame_d_size(i) for i in need]
+        kw = {"to_device": True} if self._device_frames else {}
         if self._hints is not None:
             frames = self._codec.decompress_frames(
-                datas, d_sizes, [self._frame_hints(i) for i in need])
+                datas, d_sizes, [self._frame_hints(i) for i in need], **kw)
         else:
-            frames = self._codec.decompress_frames(datas, d_sizes)
+            frames = self._codec.decompress_frames(datas, d_sizes, **kw)
         for i, fr in zip(need, frames):
             self._check_frame(i, fr)
         if self._cache is not None:
@@ -171,8 +188,9 @@ class Reader:
         return self.stats()
 
     def stats(self) -> ReaderStats:
+        entry = 12 if self._table.checksums is not None else 8
         st = ReaderStats(
-            seek_table_size=(8 + 8 * self._table.num_frames + 9),
+            seek_table_size=(8 + entry * self._table.num_frames + 9),
             seek_table_memory=self._table.memory_usage(),
             frames=self._table.num_frames,
             compressed_size=self._table.compressed_size,
@@ -212,9 +230,12 @@ class Reader:
     def _frame_hints(self, idx: int):
         return self._hints[idx] if self._hints is not None else None
 
-    def _check_frame(self, idx: int, frame: bytes) -> None:
+    def _check_frame(self, idx: int, frame) -> None:
         if not self._verify:
             return
+        if not isinstance(frame, (bytes, bytearray, memoryview)):
+            import numpy as np
+            frame = np.asarray(frame).tobytes()
         from libzseek_tpu.format.xxhash import xxh64
         want = int(self._table.checksums[idx])
         got = xxh64(frame) & 0xFFFFFFFF
@@ -222,6 +243,39 @@ class Reader:
             raise FormatError(
                 f"frame {idx} checksum mismatch: {got:#010x} != "
                 f"{want:#010x}")
+
+    def _decode_frame_device(self, idx: int):
+        """Decode frame idx to a DEVICE uint8 array (never materialized on
+        host in full, unless checksum verification demands it)."""
+        data = self._read_frame_bytes(idx)
+        d = self._table.frame_d_size(idx)
+        if self._hints is not None:
+            fr = self._codec.decompress_frames(
+                [data], [d], [self._frame_hints(idx)], to_device=True)[0]
+        else:
+            fr = self._codec.decompress_frames([data], [d],
+                                               to_device=True)[0]
+        if self._verify:
+            import numpy as np
+            self._check_frame(idx, np.asarray(fr).tobytes())
+        return fr
+
+    def _pread_span(self, idx: int, in_off: int, size: int) -> bytes:
+        """Device-resident pread: cache (if any) holds jax arrays; only the
+        requested span crosses device->host."""
+        import numpy as np
+        fr = None
+        if self._cache is not None:
+            with self._lock:
+                fr = self._cache.find(idx)
+        if fr is None:
+            fr = self._decode_frame_device(idx)
+            if self._cache is not None:
+                with self._lock:
+                    if self._cache.find(idx) is None:
+                        self._cache.insert(idx, fr)
+        n = min(size, int(fr.shape[0]) - in_off)
+        return np.asarray(fr[in_off: in_off + n]).tobytes()
 
     def _read_frame_bytes(self, idx: int) -> bytes:
         off = self._table.frame_c_offset(idx)

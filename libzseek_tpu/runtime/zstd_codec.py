@@ -107,6 +107,7 @@ class ZstdCodec:
 
     name = "zstd"
     supports_hints = True
+    supports_device_frames = True
 
     def __init__(self, level: int = 3, max_batch_blocks: int = 64,
                  collect_hints: bool = True, parser: str = "auto",
@@ -917,9 +918,11 @@ class ZstdCodec:
         return self.decompress_frames([data], [d_size], [frame_hints])[0]
 
     def decompress_frames(self, datas: list[bytes], d_sizes: list[int],
-                          frame_hints: list | None = None) -> list[bytes]:
+                          frame_hints: list | None = None,
+                          to_device: bool = False) -> list[bytes]:
         from libzseek_tpu.ops.zstd_decode import decode_frames
-        return decode_frames(datas, d_sizes, hints=frame_hints)
+        return decode_frames(datas, d_sizes, hints=frame_hints,
+                             to_device=to_device)
 
 
 class _ZstdStream:

@@ -147,3 +147,53 @@ def test_write_after_close_and_double_close():
     st1 = w.close()
     st2 = w.close()
     assert st1.frames == st2.frames == 1
+
+
+def test_device_resident_frame_cache(rng):
+    """device_cache=True keeps cached decompressed frames as DEVICE arrays
+    (HBM frame cache): cache entries are jax Arrays, only the requested
+    span crosses to host, and reads stay byte-exact."""
+    import jax
+
+    data = rng.integers(0, 150, 700_000, np.uint8).tobytes()
+    buf = io.BytesIO()
+    w = Writer(buf, codec="zstd", min_frame_size=1 << 17)
+    w.write(data)
+    w.close()
+    r = Reader(buf.getvalue(), cache_frames=4, device_cache=True)
+    assert r._device_frames
+    assert r.pread(4096, 300_000) == data[300_000: 304_096]
+    # the cache owns device-resident entries, not host bytes
+    assert r._cache.entries >= 1
+    for v in r._cache._map.values():
+        assert isinstance(v, jax.Array)
+    # hit path slices the cached device array
+    st0 = r.stats()
+    assert r.pread(100, 300_500) == data[300_500: 300_600]
+    assert r.stats().cache_hits == st0.cache_hits + 1
+    # cross-frame loop + boundary short count
+    assert r.pread_full(len(data), 0) == data
+
+
+def test_uncached_pread_bounded_host_memory(rng):
+    """cache_frames=0 serves preads from device-resident frames: no whole
+    decompressed frame is materialized on host (the reference's
+    stream-and-discard analog, decompress.c:377-468)."""
+    data = rng.integers(0, 150, 500_000, np.uint8).tobytes()
+    buf = io.BytesIO()
+    w = Writer(buf, codec="zstd", min_frame_size=1 << 18)
+    w.write(data)
+    w.close()
+    r = Reader(buf.getvalue(), cache_frames=0)
+    assert r._device_frames
+    assert r._cache is None
+    for off in (0, 100_000, 262_143, 499_000):
+        assert r.pread(512, off) == data[off: off + 512]
+    # lz4 arm
+    buf2 = io.BytesIO()
+    w2 = Writer(buf2, codec="lz4", min_frame_size=1 << 17)
+    w2.write(data)
+    w2.close()
+    r2 = Reader(buf2.getvalue(), cache_frames=0)
+    assert r2._device_frames
+    assert r2.pread(4096, 123_456) == data[123_456: 127_552]

@@ -119,3 +119,20 @@ def test_device_chain_cap_overflow(rng):
     raw = rng.integers(0, 250, 600_000, np.uint8).tobytes()  # rawlit rows
     frames = codec.compress_frames([raw])
     assert golden.zstd_decompress(frames[0]) == raw
+
+
+def test_linked_parser_ratio_text_and_mixed(rng):
+    """ADVICE r1: quantify the miss-accelerator's ratio cost.  The linked
+    TPU parser (production path) must stay ratio-competitive with golden
+    zstd L3 on the regimes where the accelerator strides (text-like,
+    mixed).  Bound tightens to len(g)+16 as the entropy stage gains
+    FSE_Compressed sequence tables."""
+    from libzseek_tpu.testing.corpus import mixed_corpus
+    codec = ZstdCodec(parser="linked", entropy="smem")
+    for name, raw in (("text", text_corpus(rng, 96 * 1024).tobytes()),
+                      ("mixed", mixed_corpus(rng, 192 * 1024).tobytes())):
+        fr = codec.compress_frames([raw])[0]
+        g = golden.zstd_compress(raw, level=3)
+        assert golden.zstd_decompress(fr) == raw, name
+        assert len(fr) <= max(len(g) * 1.001, len(g) + 16), \
+            (name, len(fr), len(g))
