@@ -194,11 +194,19 @@ def hash_parse_blocks_smem(x: jnp.ndarray, lengths: jnp.ndarray,
 def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
                          off_ref, n_ref, table_ref, *, cap: int,
                          max_offset: int, hash_log: int, block_bytes: int,
-                         gate_bits: int, min_match: int):
+                         gate_bits: int, min_match: int,
+                         gated_policy: str = "halve",
+                         strict_h16_x6: int = 480,
+                         variant: str = "quad"):
     CW = prev_ref.shape[2]          # words per block
     NW = cur_ref.shape[2]
     tab_size = 1 << hash_log
+    assert hash_log >= 8
     shift = np.uint32(32 - hash_log)
+    # left shift placing the 7 tag bits (u[shift-7, shift)) at bits 24..31
+    TAGB_SH = hash_log - 1
+    TAG_MASK = 0x7F << 24
+    GOLD = np.uint32(0x9E3779B1)
 
     b = pl.program_id(0)
     base = b * block_bytes          # absolute position of the window start
@@ -216,6 +224,7 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
     h16 = meta_ref[0, 0, 2]         # block byte entropy * 16 (gate)
     # window coords: [0, 4*CW) = previous block, [4*CW, 4*CW+blen) = this one
     limit = block_bytes + blen - 12
+    abs0 = base + block_bytes       # absolute position of this block's start
 
     def word(q):
         inprev = q < CW
@@ -268,184 +277,283 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
     # Entries pack {tag:7, pos:24} with the sign bit left clear (-1 =
     # empty): pos is the absolute batch position (the wrapper asserts
     # batches stay under 2^24 bytes) and tag is 7 extra bits of the same
-    # hash product.  A probe whose tag mismatches is rejected with
-    # register ops only — previously EVERY probe paid a dual-buffer
-    # window load (w32(cand)) to compare candidate bytes.  The hash
-    # covers 5 bytes (= min_match, so 4-byte-only candidates could never
-    # pass the gate anyway); the strict arm — low-entropy blocks whose
-    # gate rejects short matches — hashes 8 bytes, so genuine 4-7 byte
-    # matches no longer reach the extend/backward/gate work at all (they
-    # used to dominate parse time on text-like blocks).
-    TAG_SH = 24
+    # hash product, pre-shifted to bits 24..30 (tagb).  Validity is ONE
+    # range check: entry in [tagb + window_lo, tagb + pos) — it fuses the
+    # tag-equality, in-window, dist >= 1 and empty (-1) rejections (a
+    # mismatched tag lands outside the 24-bit range either side).  The
+    # hash covers 5 bytes (= min_match); the strict arm — low-entropy
+    # blocks whose gate rejects short matches — hashes 8 bytes, so 4-7
+    # byte matches never reach the extend/backward/gate work at all.
 
-    def make_body(strict: bool):
-        def sig(w, ext):
-            # bucket + tag from one hash multiply: the top hash_log
-            # product bits index the table, the 7 bits below are the tag
-            u = (w.astype(jnp.uint32) ^
-                 (ext * np.uint32(0x9E3779B1))) * PRIME
+    def make_arm(strict: bool):
+        def U(v):
+            return v.astype(jnp.uint32)
+
+        def sig_u(w, ext):
+            # bucket + tag from one hash product over 5 (or 8) bytes
+            if strict:
+                return (U(w) ^ (U(ext) * GOLD)) * PRIME
+            return (U(w) ^ (U(ext) << 13)) * PRIME
+
+        def h_tagb(u):
             h = (u >> shift).astype(jnp.int32)
-            tag = (u >> (shift - np.uint32(7))).astype(jnp.int32) & 0x7F
-            return h, tag
+            tagb = ((u << TAGB_SH).astype(jnp.int32)) & TAG_MASK
+            return h, tagb
 
         def probe_sig(ip):
             # unclamped loads: probes stay >= 12 bytes from block end
             j = ip - block_bytes
             q = j >> 2
             sh = ((j & 3) * 8).astype(jnp.uint32)
-            lo = cur_ref[0, 0, q].astype(jnp.uint32)
-            hi = cur_ref[0, 0, q + 1].astype(jnp.uint32)
+            lo = U(cur_ref[0, 0, q])
+            hi = U(cur_ref[0, 0, q + 1])
             nz = jnp.uint32(32) - sh
             w = ((lo >> sh) | jnp.where(
                 sh == 0, jnp.uint32(0), hi << nz)).astype(jnp.int32)
             if strict:
-                ext = (hi >> sh) | jnp.where(
+                ext = ((hi >> sh) | jnp.where(
                     sh == 0, jnp.uint32(0),
-                    cur_ref[0, 0, q + 2].astype(jnp.uint32) << nz)
-                w2 = ext.astype(jnp.int32)
+                    U(cur_ref[0, 0, q + 2]) << nz)).astype(jnp.int32)
             else:
-                ext = (hi >> sh) & jnp.uint32(0xFF)   # byte 5
-                w2 = jnp.int32(0)
-            h, tag = sig(w, ext)
-            return w, w2, h, tag
+                ext = ((hi >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
+            return h_tagb(sig_u(w, ext))
 
         def insert_at(p):
             # clamped variant for in-match inserts (may sit near the end)
             j = p - block_bytes
             q = j >> 2
             sh = ((j & 3) * 8).astype(jnp.uint32)
-            lo = cur_ref[0, 0, q].astype(jnp.uint32)
-            hi = cur_ref[0, 0, jnp.minimum(q + 1, NW - 1)].astype(jnp.uint32)
+            lo = U(cur_ref[0, 0, q])
+            hi = U(cur_ref[0, 0, jnp.minimum(q + 1, NW - 1)])
             nz = jnp.uint32(32) - sh
             w = ((lo >> sh) | jnp.where(
                 sh == 0, jnp.uint32(0), hi << nz)).astype(jnp.int32)
             if strict:
-                w3 = cur_ref[0, 0, jnp.minimum(q + 2, NW - 1)
-                             ].astype(jnp.uint32)
-                ext = (hi >> sh) | jnp.where(
-                    sh == 0, jnp.uint32(0), w3 << nz)
+                w3 = U(cur_ref[0, 0, jnp.minimum(q + 2, NW - 1)])
+                ext = ((hi >> sh) | jnp.where(
+                    sh == 0, jnp.uint32(0), w3 << nz)).astype(jnp.int32)
             else:
-                ext = (hi >> sh) & jnp.uint32(0xFF)
-            h, tag = sig(w, ext)
-            table_ref[h] = (base + p) | (tag << TAG_SH)
+                ext = ((hi >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
+            h, tagb = h_tagb(sig_u(w, ext))
+            table_ref[h] = (base + p) | tagb
 
-        # one scalar branch per probe (branches cost ~a probe each); the
-        # byte confirmation + profitability gate run inside the match arm
-        def body(state):
-            ip, anchor, cnt, miss = state
-            w, w2, h, tag = probe_sig(ip)
-            entry = table_ref[h]
+        def do_match_at(ip, anchor, cnt, miss, cand_abs):
+            """Shared match arm (single-step hit and quad-loop hit):
+            confirm bytes, extend, reseed the table across the span,
+            backward-extend, gate, emit.  Caller guarantees cnt < cap."""
             pos = base + ip
-            table_ref[h] = pos | (tag << TAG_SH)
-            cand_abs = entry & 0xFFFFFF
             dist = pos - cand_abs
-            # range check as one unsigned compare: rejects dist <= 0 too
-            # (a dist <= 0 candidate would otherwise be reachable through
-            # a future-position insert; see the le clamp below)
-            good = ((entry >> TAG_SH) == tag) & (cand_abs >= min_abs) & \
-                (jnp.uint32(dist - 1) <= jnp.uint32(max_offset - 1)) & \
-                (cnt < cap)
-            cand = cand_abs - base  # window position (>= 0 when good)
+            cand = cand_abs - base  # window position
+            # confirm actual bytes (tag/bucket collisions happen);
+            # unconfirmed candidates fall back to miss semantics
+            conf = w32(cand) == w32_c(ip)
+            if strict:
+                conf = conf & (w32(cand + 4) == w32_c(ip + 4))
+            l = extend(ip, cand)
 
-            def do_match(_):
-                # confirm actual bytes (tag/bucket collisions happen);
-                # unconfirmed candidates fall back to miss semantics
-                conf = w32(cand) == w
-                if strict:
-                    conf = conf & (w32(cand + 4) == w2)
-                l = extend(ip, cand)
+            # keep the table alive across the matched span: without these
+            # the next block has nothing in-window to match after a long
+            # run.  le clamps the inserts on UNCONFIRMED candidates: the
+            # walk resumes at ip+1 there, and a store ahead of the probe
+            # pointer would later be read back as a bogus "candidate"
+            le = jnp.where(conf, l, jnp.int32(2))
 
-                # keep the table alive across the matched span: without
-                # these the next block has nothing in-window to match
-                # after a long run (the 128K offset cap excludes the
-                # previous block's head), re-paying the literal intro
-                # every block on periodic data.  le clamps the inserts on
-                # UNCONFIRMED candidates: the walk resumes at ip+1 there,
-                # and a store ahead of the probe pointer would later be
-                # read back as a bogus dist<=0 "candidate" of itself
-                le = jnp.where(conf, l, jnp.int32(2))
+            def ins(k, _):
+                insert_at(ip + (k << 5))
+                return 0
 
-                def ins(k, _):
-                    insert_at(ip + (k << 5))
-                    return 0
+            jax.lax.fori_loop(1, le >> 5, ins, 0)
+            insert_at(ip + le - 2)
+            # backward extension (zstd-fast does the same): the miss
+            # accelerator can step past a match's true start; walk back
+            # over equal bytes to the previous anchor / fence
+            minw = min_abs - base
 
-                jax.lax.fori_loop(1, le >> 5, ins, 0)
-                insert_at(ip + le - 2)
-                # backward extension (zstd-fast does the same): the miss
-                # accelerator can step past a match's true start; walk
-                # back over equal bytes to the previous anchor / fence
-                minw = min_abs - base
+            def bcond(k):
+                return (ip - k > anchor) & (cand - k > minw) & \
+                    (byte_c(ip - k - 1) ==
+                     byte(jnp.maximum(cand - k - 1, 0)))
 
-                def bcond(k):
-                    return (ip - k > anchor) & (cand - k > minw) & \
-                        (byte_c(ip - k - 1) ==
-                         byte(jnp.maximum(cand - k - 1, 0)))
-
-                kb = jax.lax.while_loop(bcond, lambda k: k + 1,
-                                        jnp.int32(0))
-                ips = ip - kb
-                lf = l + kb
-                # profitability gate: a sequence costs ~gate_bits state/
-                # extra bits + log2(offset_value) offset bits vs ~H bits
-                # per literal byte; min_match mirrors zstd level 3's
-                # cParams.minMatch.  Branch-free: gated-out/unconfirmed
-                # matches write to slot cnt anyway (the next survivor
-                # overwrites) and just don't advance cnt/anchor.
-                ebits = 31 - jax.lax.clz(dist + 3)
-                keep = conf & (lf >= min_match) & \
-                    (lf * h16 > (gate_bits + ebits) * 16)
-                ll_ref[0, 0, cnt] = ips - anchor
-                ml_ref[0, 0, cnt] = lf
-                off_ref[0, 0, cnt] = dist + 3
-                ipn = jnp.where(conf, ip + l, ip + 1 + (miss >> 6))
-                # a KEPT match resets the miss accelerator; a CONFIRMED but
-                # gated-out match halves it instead of incrementing —
-                # matchable structure is nearby, so the stride must not
-                # compound through a run of unprofitable short matches
-                # (backward extension can only recover the equal-byte run
-                # back to the anchor, not a fully overstepped match start)
+            kb = jax.lax.while_loop(bcond, lambda k: k + 1,
+                                    jnp.int32(0))
+            ips = ip - kb
+            lf = l + kb
+            # profitability gate: a sequence costs ~gate_bits state/extra
+            # bits + log2(offset) bits vs ~H bits per literal byte.
+            # Branch-free: gated-out/unconfirmed matches write to slot cnt
+            # anyway (the next survivor overwrites) and just don't advance
+            # cnt/anchor.
+            ebits = 31 - jax.lax.clz(dist + 3)
+            keep = conf & (lf >= min_match) & \
+                (lf * h16 > (gate_bits + ebits) * 16)
+            ll_ref[0, 0, cnt] = ips - anchor
+            ml_ref[0, 0, cnt] = lf
+            off_ref[0, 0, cnt] = dist + 3
+            ipn = jnp.where(conf, ip + l, ip + 1 + (miss >> 6))
+            # a KEPT match resets the miss accelerator; a CONFIRMED but
+            # gated-out match halves it instead of incrementing — the
+            # stride must not compound through a run of unprofitable
+            # short matches (ADVICE r1; ratio-neutral, measured)
+            if gated_policy == "halve":
                 missn = jnp.where(keep, jnp.int32(0),
                                   jnp.where(conf, miss >> 1, miss + 1))
-                return (ipn, jnp.where(keep, ip + l, anchor),
-                        cnt + keep, missn)
+            else:  # "grow": stride persists through gated-out matches
+                missn = jnp.where(keep, jnp.int32(0), miss + 1)
+            return (ipn, jnp.where(keep, ip + l, anchor),
+                    cnt + keep, missn)
+
+        # one scalar branch per probe; byte confirmation + the gate run
+        # inside the match arm
+        def body1(state):
+            ip, anchor, cnt, miss = state
+            h, tagb = probe_sig(ip)
+            entry = table_ref[h]
+            pos = base + ip
+            wlo = jnp.maximum(min_abs, pos - max_offset)
+            good = (entry >= tagb + wlo) & (entry < tagb + pos) & \
+                (cnt < cap)
+            table_ref[h] = pos | tagb
+
+            def hit(_):
+                return do_match_at(ip, anchor, cnt, miss,
+                                   entry & 0xFFFFFF)
 
             def do_miss(_):
                 return ip + 1 + (miss >> 6), anchor, cnt, miss + 1
 
-            return jax.lax.cond(good, do_match, do_miss, None)
-        return body
+            return jax.lax.cond(good, hit, do_miss, None)
 
-    # gate break-even length at a typical offset cost (ebits ~ 10): when
-    # even ~5-6 byte matches cannot pass the gate the strict arm runs,
-    # with the hash/tag committed to 8 candidate bytes
-    strict_blk = 6 * h16 <= (gate_bits + 10) * 16
-    ip0 = jnp.int32(block_bytes)
+        return body1, do_match_at
+
+    def run_single(body1):
+        ip0 = jnp.int32(block_bytes)
+        return jax.lax.while_loop(
+            lambda s: s[0] < limit, body1,
+            (ip0, ip0, jnp.int32(0), jnp.int32(0)))
+
+    # --- quad miss loop ---------------------------------------------
+    # The miss path dominates parse time (matches advance by their length
+    # for free).  This loop probes FOUR word-aligned positions per
+    # iteration: two aligned word loads (three in the strict arm) yield
+    # all four unaligned probe words with compile-time shifts, killing the
+    # dynamic-shift/select construction the single-step path pays per
+    # position.  Candidate hits exit to the shared match arm; the head/
+    # tail and post-match realignment run the single-step body.
+
+    def make_quad(strict: bool, body1, do_match_at):
+        def U(v):
+            return v.astype(jnp.uint32)
+
+        def qcond(s):
+            q, fnd = s[0], s[1]
+            return (fnd == 0) & (4 * q <= blen - 16)
+
+        def qbody(s):
+            q, fnd, e0, e1, e2, e3, miss, qp = s
+            w0 = U(cur_ref[0, 0, q])
+            w1 = U(cur_ref[0, 0, q + 1])
+            if strict:
+                w2 = U(cur_ref[0, 0, q + 2])
+            pos0 = abs0 + 4 * q
+            # one window bound for all four positions (conservative by 3
+            # bytes at the far edge, so emitted dists stay <= max_offset)
+            wlo = jnp.maximum(min_abs, pos0 - (max_offset - 3))
+            es = []
+            for k in range(4):
+                wk = w0 if k == 0 else \
+                    ((w0 >> (8 * k)) | (w1 << (32 - 8 * k)))
+                if strict:
+                    ek = w1 if k == 0 else \
+                        ((w1 >> (8 * k)) | (w2 << (32 - 8 * k)))
+                    u = (wk ^ (ek * GOLD)) * PRIME
+                else:
+                    ek = (w1 >> (8 * k)) & jnp.uint32(0xFF)
+                    u = (wk ^ (ek << 13)) * PRIME
+                h = (u >> shift).astype(jnp.int32)
+                tagb = ((u << TAGB_SH).astype(jnp.int32)) & TAG_MASK
+                entry = table_ref[h]
+                pos_k = pos0 + k
+                good = (entry >= tagb + wlo) & (entry < tagb + pos_k)
+                table_ref[h] = pos_k | tagb
+                fnd = fnd | (good.astype(jnp.int32) << k)
+                es.append(entry)
+            return (q + 1 + (miss >> 8), fnd, es[0], es[1], es[2], es[3],
+                    miss + 4, q)
+
+        def outer(state):
+            # realign: single-step while ip is not word-aligned
+            st = jax.lax.while_loop(
+                lambda s: (s[0] < limit) & ((s[0] & 3) != 0), body1, state)
+            ip, anchor, cnt, miss = st
+            q0 = (ip - block_bytes) >> 2
+            z = jnp.int32(0)
+            qs = jax.lax.while_loop(
+                qcond, qbody, (q0, z, z, z, z, z, miss, q0))
+            q, fnd, e0, e1, e2, e3, missq, qp = qs
+
+            def with_hit(_):
+                k = jnp.where(
+                    (fnd & 1) != 0, jnp.int32(0), jnp.where(
+                        (fnd & 2) != 0, jnp.int32(1), jnp.where(
+                            (fnd & 4) != 0, jnp.int32(2), jnp.int32(3))))
+                entry = jnp.where(
+                    (fnd & 1) != 0, e0, jnp.where(
+                        (fnd & 2) != 0, e1, jnp.where(
+                            (fnd & 4) != 0, e2, e3)))
+                iph = block_bytes + 4 * qp + k
+                return do_match_at(iph, anchor, cnt, missq,
+                                   entry & 0xFFFFFF)
+
+            def no_hit(_):
+                # tail (< 16 bytes to the limit): single-step to the end
+                st2 = (block_bytes + 4 * q, anchor, cnt, missq)
+                return jax.lax.while_loop(lambda s: s[0] < limit, body1,
+                                          st2)
+
+            return jax.lax.cond((fnd != 0) & (cnt < cap), with_hit,
+                                no_hit, None)
+
+        ip0 = jnp.int32(block_bytes)
+        return jax.lax.while_loop(
+            lambda s: s[0] < limit, outer,
+            (ip0, ip0, jnp.int32(0), jnp.int32(0)))
+
+    def run(strict: bool):
+        body1, dm = make_arm(strict)
+        if variant == "quad":
+            return make_quad(strict, body1, dm)
+        return run_single(body1)
+
+    # gate break-even: when even short matches cannot pass the gate the
+    # strict arm runs, with the hash/tag committed to 8 candidate bytes
+    # (threshold measured ratio-neutral at 480 = h16 <= 80, i.e. blocks
+    # under 5 bits/byte of entropy)
+    strict_blk = 6 * h16 <= strict_h16_x6
 
     @pl.when(strict_blk)
     def _():
-        ip, anchor, cnt, miss = jax.lax.while_loop(
-            lambda s: s[0] < limit, make_body(True),
-            (ip0, ip0, jnp.int32(0), jnp.int32(0)))
+        ip, anchor, cnt, miss = run(True)
         n_ref[0, 0, 0] = cnt
         n_ref[0, 0, 1] = anchor - block_bytes
 
     @pl.when(jnp.logical_not(strict_blk))
     def _():
-        ip, anchor, cnt, miss = jax.lax.while_loop(
-            lambda s: s[0] < limit, make_body(False),
-            (ip0, ip0, jnp.int32(0), jnp.int32(0)))
+        ip, anchor, cnt, miss = run(False)
         n_ref[0, 0, 0] = cnt
         n_ref[0, 0, 1] = anchor - block_bytes   # cover end, block-relative
 
 
 @partial(jax.jit, static_argnames=("cap", "max_offset", "hash_log",
-                                   "gate_bits", "min_match", "interpret"))
+                                   "gate_bits", "min_match", "gated_policy",
+                                   "strict_h16_x6", "interpret"))
 def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
                            min_abs: jnp.ndarray, h16: jnp.ndarray,
                            cap: int = 8192,
                            max_offset: int = (1 << 17) - 1,
                            hash_log: int = 16,
                            gate_bits: int = 14, min_match: int = 5,
+                           gated_policy: str = "halve",
+                           strict_h16_x6: int = 384,
                            interpret: bool = False):
     """Linked-block gated zstd parse.
 
@@ -465,7 +573,8 @@ def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
         x2.reshape(B1, NW, 4), jnp.int32)
     kernel = partial(_parse_linked_kernel, cap=cap, max_offset=max_offset,
                      hash_log=hash_log, block_bytes=N,
-                     gate_bits=gate_bits, min_match=min_match)
+                     gate_bits=gate_bits, min_match=min_match,
+                     gated_policy=gated_policy, strict_h16_x6=strict_h16_x6)
 
     def smem(shape, shift=0):
         return pl.BlockSpec(memory_space=pltpu.SMEM,

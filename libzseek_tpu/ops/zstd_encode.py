@@ -610,11 +610,14 @@ def zstd_sequences_linked(x2: jnp.ndarray, lengths: jnp.ndarray,
     profitability gate applied in-kernel.  x2 is the shifted block array
     (row r+1 = block r, row r = its context); same output contract as
     zstd_sequences (arrays align with x2[1:])."""
+    import os
     from libzseek_tpu.ops.pallas_match import zstd_parse_linked_smem
     x = jax.lax.slice_in_dim(x2, 1, x2.shape[0], axis=0)
     h16 = block_entropy_h16(x, lengths)
     ll, ml, offv, n_seq, cover = zstd_parse_linked_smem(
         x2, lengths, min_abs, h16, gate_bits=GATE_FIXED_BITS,
+        gated_policy=os.environ.get("ZN_GATED_POLICY", "halve"),
+        strict_h16_x6=int(os.environ.get("ZN_STRICT_X6", "480")),
         interpret=interpret)
     return _linked_post(x, lengths, ll, ml, offv, n_seq, cover,
                         cap=ll.shape[1])
