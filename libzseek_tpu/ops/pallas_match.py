@@ -191,15 +191,19 @@ def hash_parse_blocks_smem(x: jnp.ndarray, lengths: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
+def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
                          off_ref, n_ref, table_ref, *, cap: int,
                          max_offset: int, hash_log: int, block_bytes: int,
                          gate_bits: int, min_match: int,
                          gated_policy: str = "halve",
                          strict_h16_x6: int = 480,
-                         variant: str = "quad"):
-    CW = prev_ref.shape[2]          # words per block
-    NW = cur_ref.shape[2]
+                         variant: str = "quad",
+                         debug_counters: bool = False):
+    # win_ref: ONE 2-block SMEM stream per grid step (prev block || cur
+    # block, pre-concatenated on device).  Two separate SMEM input streams
+    # with shifted windows measured ~15x slower per grid step than one
+    # wide stream — SMEM stream DMA dominates the whole parse otherwise.
+    WW = win_ref.shape[2]           # words per window (2 blocks)
     tab_size = 1 << hash_log
     assert hash_log >= 8
     shift = np.uint32(32 - hash_log)
@@ -224,13 +228,9 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
     h16 = meta_ref[0, 0, 2]         # block byte entropy * 16 (gate)
     # window coords: [0, 4*CW) = previous block, [4*CW, 4*CW+blen) = this one
     limit = block_bytes + blen - 12
-    abs0 = base + block_bytes       # absolute position of this block's start
 
     def word(q):
-        inprev = q < CW
-        pw = prev_ref[0, 0, jnp.minimum(q, CW - 1)]
-        cw = cur_ref[0, 0, jnp.clip(q - CW, 0, NW - 1)]
-        return jnp.where(inprev, pw, cw)
+        return win_ref[0, 0, jnp.clip(q, 0, WW - 1)]
 
     def byte(i):
         return (word(i >> 2) >> ((i & 3) * 8)) & 0xFF
@@ -244,17 +244,15 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
             sh == 0, jnp.uint32(0), hi << (jnp.uint32(32) - sh))
         return v.astype(jnp.int32)
 
-    # single-ref fast path for positions in the current block
+    # unclamped fast path (callers stay in window bounds)
     def byte_c(i):
-        j = i - block_bytes
-        return (cur_ref[0, 0, j >> 2] >> ((j & 3) * 8)) & 0xFF
+        return (win_ref[0, 0, i >> 2] >> ((i & 3) * 8)) & 0xFF
 
     def w32_c(i):
-        j = i - block_bytes
-        q = j >> 2
-        sh = ((j & 3) * 8).astype(jnp.uint32)
-        lo = cur_ref[0, 0, q].astype(jnp.uint32)
-        hi = cur_ref[0, 0, jnp.minimum(q + 1, NW - 1)].astype(jnp.uint32)
+        q = i >> 2
+        sh = ((i & 3) * 8).astype(jnp.uint32)
+        lo = win_ref[0, 0, q].astype(jnp.uint32)
+        hi = win_ref[0, 0, jnp.minimum(q + 1, WW - 1)].astype(jnp.uint32)
         v = (lo >> sh) | jnp.where(
             sh == 0, jnp.uint32(0), hi << (jnp.uint32(32) - sh))
         return v.astype(jnp.int32)
@@ -302,34 +300,32 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
 
         def probe_sig(ip):
             # unclamped loads: probes stay >= 12 bytes from block end
-            j = ip - block_bytes
-            q = j >> 2
-            sh = ((j & 3) * 8).astype(jnp.uint32)
-            lo = U(cur_ref[0, 0, q])
-            hi = U(cur_ref[0, 0, q + 1])
+            q = ip >> 2
+            sh = ((ip & 3) * 8).astype(jnp.uint32)
+            lo = U(win_ref[0, 0, q])
+            hi = U(win_ref[0, 0, q + 1])
             nz = jnp.uint32(32) - sh
             w = ((lo >> sh) | jnp.where(
                 sh == 0, jnp.uint32(0), hi << nz)).astype(jnp.int32)
             if strict:
                 ext = ((hi >> sh) | jnp.where(
                     sh == 0, jnp.uint32(0),
-                    U(cur_ref[0, 0, q + 2]) << nz)).astype(jnp.int32)
+                    U(win_ref[0, 0, q + 2]) << nz)).astype(jnp.int32)
             else:
                 ext = ((hi >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
             return h_tagb(sig_u(w, ext))
 
         def insert_at(p):
             # clamped variant for in-match inserts (may sit near the end)
-            j = p - block_bytes
-            q = j >> 2
-            sh = ((j & 3) * 8).astype(jnp.uint32)
-            lo = U(cur_ref[0, 0, q])
-            hi = U(cur_ref[0, 0, jnp.minimum(q + 1, NW - 1)])
+            q = p >> 2
+            sh = ((p & 3) * 8).astype(jnp.uint32)
+            lo = U(win_ref[0, 0, q])
+            hi = U(win_ref[0, 0, jnp.minimum(q + 1, WW - 1)])
             nz = jnp.uint32(32) - sh
             w = ((lo >> sh) | jnp.where(
                 sh == 0, jnp.uint32(0), hi << nz)).astype(jnp.int32)
             if strict:
-                w3 = U(cur_ref[0, 0, jnp.minimum(q + 2, NW - 1)])
+                w3 = U(win_ref[0, 0, jnp.minimum(q + 2, WW - 1)])
                 ext = ((hi >> sh) | jnp.where(
                     sh == 0, jnp.uint32(0), w3 << nz)).astype(jnp.int32)
             else:
@@ -337,18 +333,14 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
             h, tagb = h_tagb(sig_u(w, ext))
             table_ref[h] = (base + p) | tagb
 
-        def do_match_at(ip, anchor, cnt, miss, cand_abs):
+        def do_match_full(ip, anchor, cnt, miss, cand_abs, conf):
             """Shared match arm (single-step hit and quad-loop hit):
-            confirm bytes, extend, reseed the table across the span,
-            backward-extend, gate, emit.  Caller guarantees cnt < cap."""
+            extend, reseed the table across the span, backward-extend,
+            gate, emit.  Caller guarantees cnt < cap and has confirmed
+            the candidate's bytes into `conf`."""
             pos = base + ip
             dist = pos - cand_abs
             cand = cand_abs - base  # window position
-            # confirm actual bytes (tag/bucket collisions happen);
-            # unconfirmed candidates fall back to miss semantics
-            conf = w32(cand) == w32_c(ip)
-            if strict:
-                conf = conf & (w32(cand + 4) == w32_c(ip + 4))
             l = extend(ip, cand)
 
             # keep the table alive across the matched span: without these
@@ -402,10 +394,61 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
             return (ipn, jnp.where(keep, ip + l, anchor),
                     cnt + keep, missn)
 
+        def do_match_at(ip, anchor, cnt, miss, cand_abs):
+            if debug_counters:
+                n_ref[0, 0, 4] = n_ref[0, 0, 4] + 1
+            """Confirm the candidate's bytes, then either the full match
+            arm or — non-strict only — a FAST REJECT for confirmed short
+            unprofitable matches.  On text-like regions inside high-
+            entropy blocks nearly every probe finds a confirmed 5-7 byte
+            candidate that the gate then rejects; the full arm's extend/
+            reseed/backward machinery per rejection dominated the parse.
+            The capped probe (two word compares) computes the exact
+            length for l < 8 and replicates the gated path's state
+            transition bit-for-bit, including the one table reseed and
+            the no-backward-rescue precondition."""
+            cand = cand_abs - base
+            conf4 = w32(cand) == w32_c(ip)
+            if strict:
+                conf = conf4 & (w32(cand + 4) == w32_c(ip + 4))
+                return do_match_full(ip, anchor, cnt, miss, cand_abs,
+                                     conf)
+            x2 = (w32(cand + 4) ^ w32_c(ip + 4)).astype(jnp.uint32)
+            tz = (31 - jax.lax.clz((x2 & -x2).astype(jnp.int32))) >> 3
+            l8 = jnp.where(x2 == 0, jnp.int32(8), 4 + tz)
+            pos = base + ip
+            dist = pos - cand_abs
+            ebits = 31 - jax.lax.clz(dist + 3)
+            prof8 = (l8 >= min_match) & \
+                (l8 * h16 > (gate_bits + ebits) * 16)
+            minw = min_abs - base
+            # backward extension could lengthen the match past the gate:
+            # only reject when the first backward byte already differs
+            bk0 = (ip > anchor) & (cand > minw) & \
+                (byte_c(ip - 1) == byte(jnp.maximum(cand - 1, 0)))
+            fastr = conf4 & (l8 < 8) & jnp.logical_not(prof8) & \
+                jnp.logical_not(bk0)
+
+            def fast(_):
+                insert_at(ip + l8 - 2)
+                if gated_policy == "halve":
+                    missn = miss >> 1
+                else:
+                    missn = miss + 1
+                return ip + l8, anchor, cnt, missn
+
+            def full(_):
+                return do_match_full(ip, anchor, cnt, miss, cand_abs,
+                                     conf4)
+
+            return jax.lax.cond(fastr, fast, full, None)
+
         # one scalar branch per probe; byte confirmation + the gate run
         # inside the match arm
         def body1(state):
             ip, anchor, cnt, miss = state
+            if debug_counters:
+                n_ref[0, 0, 3] = n_ref[0, 0, 3] + 1
             h, tagb = probe_sig(ip)
             entry = table_ref[h]
             pos = base + ip
@@ -446,15 +489,15 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
 
         def qcond(s):
             q, fnd = s[0], s[1]
-            return (fnd == 0) & (4 * q <= blen - 16)
+            return (fnd == 0) & (4 * q <= block_bytes + blen - 16)
 
         def qbody(s):
             q, fnd, e0, e1, e2, e3, miss, qp = s
-            w0 = U(cur_ref[0, 0, q])
-            w1 = U(cur_ref[0, 0, q + 1])
+            w0 = U(win_ref[0, 0, q])
+            w1 = U(win_ref[0, 0, q + 1])
             if strict:
-                w2 = U(cur_ref[0, 0, q + 2])
-            pos0 = abs0 + 4 * q
+                w2 = U(win_ref[0, 0, q + 2])
+            pos0 = base + 4 * q
             # one window bound for all four positions (conservative by 3
             # bytes at the far edge, so emitted dists stay <= max_offset)
             wlo = jnp.maximum(min_abs, pos0 - (max_offset - 3))
@@ -477,6 +520,8 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
                 table_ref[h] = pos_k | tagb
                 fnd = fnd | (good.astype(jnp.int32) << k)
                 es.append(entry)
+            if debug_counters:
+                n_ref[0, 0, 2] = n_ref[0, 0, 2] + 1
             return (q + 1 + (miss >> 8), fnd, es[0], es[1], es[2], es[3],
                     miss + 4, q)
 
@@ -485,7 +530,7 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
             st = jax.lax.while_loop(
                 lambda s: (s[0] < limit) & ((s[0] & 3) != 0), body1, state)
             ip, anchor, cnt, miss = st
-            q0 = (ip - block_bytes) >> 2
+            q0 = ip >> 2
             z = jnp.int32(0)
             qs = jax.lax.while_loop(
                 qcond, qbody, (q0, z, z, z, z, z, miss, q0))
@@ -500,13 +545,13 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
                     (fnd & 1) != 0, e0, jnp.where(
                         (fnd & 2) != 0, e1, jnp.where(
                             (fnd & 4) != 0, e2, e3)))
-                iph = block_bytes + 4 * qp + k
+                iph = 4 * qp + k
                 return do_match_at(iph, anchor, cnt, missq,
                                    entry & 0xFFFFFF)
 
             def no_hit(_):
                 # tail (< 16 bytes to the limit): single-step to the end
-                st2 = (block_bytes + 4 * q, anchor, cnt, missq)
+                st2 = (4 * q, anchor, cnt, missq)
                 return jax.lax.while_loop(lambda s: s[0] < limit, body1,
                                           st2)
 
@@ -530,11 +575,17 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
     # under 5 bits/byte of entropy)
     strict_blk = 6 * h16 <= strict_h16_x6
 
+    if debug_counters:
+        for _k in range(2, 6):
+            n_ref[0, 0, _k] = 0
+
     @pl.when(strict_blk)
     def _():
         ip, anchor, cnt, miss = run(True)
         n_ref[0, 0, 0] = cnt
         n_ref[0, 0, 1] = anchor - block_bytes
+        if debug_counters:
+            n_ref[0, 0, 5] = 1
 
     @pl.when(jnp.logical_not(strict_blk))
     def _():
@@ -545,7 +596,8 @@ def _parse_linked_kernel(prev_ref, cur_ref, meta_ref, ll_ref, ml_ref,
 
 @partial(jax.jit, static_argnames=("cap", "max_offset", "hash_log",
                                    "gate_bits", "min_match", "gated_policy",
-                                   "strict_h16_x6", "interpret"))
+                                   "strict_h16_x6", "debug_counters",
+                                   "interpret"))
 def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
                            min_abs: jnp.ndarray, h16: jnp.ndarray,
                            cap: int = 8192,
@@ -553,7 +605,8 @@ def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
                            hash_log: int = 16,
                            gate_bits: int = 14, min_match: int = 5,
                            gated_policy: str = "halve",
-                           strict_h16_x6: int = 384,
+                           strict_h16_x6: int = 480,
+                           debug_counters: bool = False,
                            interpret: bool = False):
     """Linked-block gated zstd parse.
 
@@ -571,10 +624,12 @@ def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
     NW = N // 4
     words = jax.lax.bitcast_convert_type(
         x2.reshape(B1, NW, 4), jnp.int32)
+    NC = 6 if debug_counters else 2
     kernel = partial(_parse_linked_kernel, cap=cap, max_offset=max_offset,
                      hash_log=hash_log, block_bytes=N,
                      gate_bits=gate_bits, min_match=min_match,
-                     gated_policy=gated_policy, strict_h16_x6=strict_h16_x6)
+                     gated_policy=gated_policy, strict_h16_x6=strict_h16_x6,
+                     debug_counters=debug_counters)
 
     def smem(shape, shift=0):
         return pl.BlockSpec(memory_space=pltpu.SMEM,
@@ -584,23 +639,27 @@ def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
 
     meta = jnp.stack([lengths.astype(jnp.int32), min_abs.astype(jnp.int32),
                       h16.astype(jnp.int32)], axis=1)
+    # ONE wide SMEM input stream (prev || cur), concatenated on device:
+    # two shifted SMEM streams of the same array measured ~15x slower
+    wide = jnp.concatenate([words[:-1], words[1:]], axis=1)
     ll, ml, off, nn = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[smem((B1, 1, NW)), smem((B1, 1, NW), shift=1),
-                  smem((B, 1, 3))],
+        in_specs=[smem((B, 1, 2 * NW)), smem((B, 1, 3))],
         out_specs=[smem((B, 1, cap)), smem((B, 1, cap)), smem((B, 1, cap)),
-                   smem((B, 1, 2))],
+                   smem((B, 1, NC))],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, cap), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, cap), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, cap), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 2), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, NC), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((1 << hash_log,), jnp.int32)],
         interpret=interpret,
-    )(words.reshape(B1, 1, NW), words.reshape(B1, 1, NW),
-      meta.reshape(B, 1, 3))
+    )(wide.reshape(B, 1, 2 * NW), meta.reshape(B, 1, 3))
+    if debug_counters:
+        return (ll[:, 0], ml[:, 0], off[:, 0], nn[:, 0, 0], nn[:, 0, 1],
+                nn[:, 0, 2:])
     return (ll[:, 0], ml[:, 0], off[:, 0], nn[:, 0, 0], nn[:, 0, 1])
 
 

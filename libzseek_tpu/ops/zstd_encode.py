@@ -473,9 +473,10 @@ def _fast_post_nolit(x, lengths, ll, ml, offv, n_seq, cover, cap: int):
     valid = idxs < n_seq[:, None]
     pos = jnp.broadcast_to(np.arange(N, dtype=np.int32)[None, :], (B, N))
     in_range = pos < lengths[:, None]
-    # H feeds a clipped heuristic gate — a 1-in-4 byte sample is plenty
-    xs = x[:, ::4]
-    hist_all = C.hist256(xs, in_range[:, ::4])
+    # H feeds a clipped heuristic gate; full rows — a strided 1-in-4
+    # sample (x[:, ::4]) forces a relayout that costs more than the
+    # whole dense histogram (see block_entropy_h16)
+    hist_all = C.hist256(x, in_range)
     pr = hist_all.astype(jnp.float32) / jnp.maximum(
         jnp.sum(hist_all, axis=1, keepdims=True).astype(jnp.float32), 1.0)
     H = -jnp.sum(jnp.where(pr > 0, pr * jnp.log2(jnp.maximum(pr, 1e-9)),
@@ -566,13 +567,14 @@ def compact_payload(lit_words: jnp.ndarray, lit_bytes: jnp.ndarray,
 @jax.jit
 def block_entropy_h16(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     """Per-row byte entropy in 1/16-bit fixed point, clipped to [1, 8] bits
-    — the in-kernel profitability gate's cost scale.  Sampled 1-in-4 (the
-    gate is a clipped heuristic; see _fast_post_nolit)."""
+    — the in-kernel profitability gate's cost scale.  Full-row histogram:
+    the dense compare-plane hist is VPU-rate, while the previous 1-in-4
+    strided sample (x[:, ::4]) forced a relayout that cost ~44 ms per
+    8 MiB batch — 3.5x the parse kernel itself."""
     B, N = x.shape
-    pos = jnp.broadcast_to(np.arange(0, N, 4, dtype=np.int32)[None, :],
-                           (B, N // 4))
+    pos = jnp.broadcast_to(np.arange(N, dtype=np.int32)[None, :], (B, N))
     in_range = pos < lengths[:, None]
-    hist = C.hist256(x[:, ::4], in_range)
+    hist = C.hist256(x, in_range)
     pr = hist.astype(jnp.float32) / jnp.maximum(
         jnp.sum(hist, axis=1, keepdims=True).astype(jnp.float32), 1.0)
     H = -jnp.sum(jnp.where(pr > 0, pr * jnp.log2(jnp.maximum(pr, 1e-9)),

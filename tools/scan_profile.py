@@ -1,0 +1,111 @@
+"""Honest on-device stage timing for the zstd encode chain.
+
+Wraps K iterations of each stage prefix in ONE jitted lax.scan, so the
+whole measurement is a single dispatch and tunnel latency/queue noise
+cannot contaminate it (dependent-iteration host loops still pay ~40 ms
+of per-rep dispatch noise through the tunnel; see PERF.md).  The scan
+carry feeds one bit back into the input bytes so XLA cannot fold the
+chain away.
+
+Stages are cumulative prefixes of ZstdCodec._dispatch_parse +
+_dispatch_chain: xor -> h16 -> parse kernel -> post -> plan ->
+entropy kernel -> compact.  CORPUS=text|mixed PB=blocks K=iters.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from libzseek_tpu.utils.platform import apply_platform
+
+apply_platform()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libzseek_tpu.ops.zstd_encode import (GATE_FIXED_BITS, _ceil_to,
+                                          _linked_post, block_entropy_h16,
+                                          compact_payload)
+from libzseek_tpu.ops.pallas_match import zstd_parse_linked_smem
+from libzseek_tpu.testing.corpus import mixed_corpus, text_corpus
+
+B = int(os.environ.get("PB", "64"))
+N = 131072
+K = int(os.environ.get("K", "8"))
+CAP = 8192
+
+rng = np.random.default_rng(3)
+kind = os.environ.get("CORPUS", "mixed")
+gen = text_corpus if kind == "text" else mixed_corpus
+data = gen(rng, (B + 1) * N)
+X2 = jnp.asarray(np.frombuffer(data.tobytes(), np.uint8).reshape(B + 1, N))
+lens = jnp.asarray(np.full((B,), N, np.int32))
+min_abs = jnp.asarray(
+    np.concatenate([[N], np.arange(1, B, dtype=np.int32) * N]))
+
+
+def chain_to(which, dep):
+    x2 = X2 ^ dep.astype(jnp.uint8)
+    x = jax.lax.slice_in_dim(x2, 1, B + 1, axis=0)
+    if which == "xor":
+        return x[0, 0].astype(jnp.int32)
+    h16 = block_entropy_h16(x, lens)
+    if which == "h16":
+        return h16[0]
+    ll, ml, offv, n_seq, cover = zstd_parse_linked_smem(
+        x2, lens, min_abs, h16, gate_bits=GATE_FIXED_BITS)
+    if which == "parse":
+        return n_seq[0]
+    seqs = _linked_post(x, lens, ll, ml, offv, n_seq, cover, cap=CAP)
+    if which == "post":
+        return seqs["hist"][0, 0] + seqs["n_seq"][0]
+    from libzseek_tpu.ops import huffman_plan as hp
+    from libzseek_tpu.ops import pallas_entropy as pe
+    mode, mode_bits, codes_packed, weights_packed, _rle = hp.plan_blocks(
+        seqs["hist"], seqs["lit_count"], seqs["n_seq"], seqs["const"],
+        lens, mode_huf=pe.MODE_HUF, mode_huf1=pe.MODE_HUF1,
+        mode_rawlit=pe.MODE_RAWLIT, mode_seq=pe.MODE_SEQ)
+    if which == "plan":
+        return mode[0] + codes_packed[0, 0]
+    meta = jnp.stack([lens, seqs["lit_count"].astype(jnp.int32),
+                      seqs["n_seq"].astype(jnp.int32), mode_bits], axis=1)
+    lit_cap = _ceil_to(N + 64, 128)
+    seq_cap = _ceil_to(9 * CAP + 64, 128)
+    lit_w, seq_w, osz, lanch, sanch = pe.entropy_emit_smem(
+        x, seqs["ll"], seqs["ml"], seqs["offv"], meta,
+        codes_packed, CAP, lit_cap, seq_cap)
+    if which == "entropy":
+        return osz[0, 0] + osz[0, 4]
+    lit_bytes_dev = jnp.sum(osz[:, :4], axis=1)
+    flat, base_w, lw_w = compact_payload(
+        lit_w, lit_bytes_dev, seq_w, osz[:, 4], 1 << 20)
+    return (flat[0] & 1).astype(jnp.int32) + base_w[B - 1]
+
+
+def scan_fn(which):
+    @jax.jit
+    def run(d0):
+        def step(c, _):
+            return chain_to(which, c) & 1, None
+        c, _ = jax.lax.scan(step, d0, None, length=K)
+        return c
+    return run
+
+
+prev = 0.0
+print(f"corpus={kind} B={B} K={K}  (cumulative prefixes; Δ = stage cost)")
+for which in ("xor", "h16", "parse", "post", "plan", "entropy", "compact"):
+    fn = scan_fn(which)
+    _ = np.asarray(fn(jnp.int32(0)))
+    best = 1e9
+    for arg in (0, 1):
+        t0 = time.time()
+        _ = np.asarray(fn(jnp.int32(arg)))
+        best = min(best, time.time() - t0)
+    ms = best / K * 1000
+    print(f"{which:>8}: {ms:8.1f} ms/iter   Δ {ms - prev:7.1f} ms   "
+          f"({B * N / (best / K) / 2**20:7.1f} MiB/s cumulative)")
+    prev = ms
