@@ -727,6 +727,154 @@ def _resolve_tags(vals: np.ndarray, reps: np.ndarray) -> np.ndarray:
     return out
 
 
+def _try_decode_smem(plans, hufreg: _HufReg, fsereg: _FseReg,
+                     to_device: bool, interpret: bool):
+    """Fused single-dispatch decode (ops/pallas_decode.py).  Returns the
+    per-frame results, or None when a block is outside the kernel's limits
+    (foreign layouts) — the caller then runs the XLA passes.
+
+    Block d_offsets/contents are predicted (non-final blocks regenerate
+    BLOCK_MAX, the layout our encoder and libzstd both produce) and
+    validated against the kernel's reported advance; any mismatch or
+    in-kernel failure (offset out of ring range, bitstream underflow)
+    falls back."""
+    from libzseek_tpu.ops import pallas_decode as pd
+
+    rows = []   # (bp, content, d_off, frame_start)
+    for p in plans:
+        d_off = 0
+        for bi, bp in enumerate(p.blocks):
+            if bp.content >= 0:
+                content = bp.content
+            else:
+                content = min(zf.BLOCK_MAX, p.content_size - d_off)
+            if content > zf.BLOCK_MAX or d_off % 4 != 0 or content < 0:
+                return None
+            rows.append((bp, content, d_off, bi == 0))
+            d_off += content
+        if d_off != p.content_size:
+            return None
+    if not rows:
+        return None
+
+    B = len(rows)
+    lp_list: list[bytes] = []
+    sq_list: list[bytes] = []
+    meta = np.zeros((B, pd.META_W), np.int32)
+    huf_packed = hufreg.packed()
+    fse_packed = fsereg.packed()
+    dtabs = np.zeros((B, 1 << _HUF_PEEK), np.int32)
+    ftabs = np.zeros((B, 1536), np.int32)
+    for i, (bp, content, d_off, fstart) in enumerate(rows):
+        mode = pd.DMODE_FRAME_START if fstart else 0
+        regen = 0
+        payload = b""
+        if bp.huf_lanes:
+            lanes = bp.huf_lanes
+            regen = sum(l.n_out for l in lanes)
+            if regen > zf.BLOCK_MAX:
+                return None
+            if len(lanes) == 1:
+                mode |= pd.DMODE_HUF1
+            else:
+                mode |= pd.DMODE_HUF4
+                per = (regen + 3) // 4
+                if [l.n_out for l in lanes] != [per, per, per,
+                                                regen - 3 * per]:
+                    return None
+            parts = []
+            off = 0
+            for s, l in enumerate(lanes):
+                meta[i, 4 + s] = _sentinel_bits(l.stream)
+                meta[i, 8 + s] = off
+                parts.append(l.stream)
+                off += len(l.stream)
+            payload = b"".join(parts)
+            dtabs[i] = huf_packed[lanes[0].tid]
+        elif bp.lit_direct is not None:
+            mode |= pd.DMODE_DIRECT
+            payload = bp.lit_direct
+            regen = len(payload)
+            if regen > zf.BLOCK_MAX:
+                return None
+        if bp.n_seq > 0:
+            mode |= pd.DMODE_SEQ
+            sq_list.append(bp.seq_stream)
+            meta[i, 12] = _sentinel_bits(bp.seq_stream)
+            meta[i, 13] = bp.n_seq
+            meta[i, 14] = (bp.ll_tl | (bp.of_tl << 8) | (bp.ml_tl << 16))
+            ftabs[i, 0:512] = fse_packed[bp.ll_tid]
+            ftabs[i, 512:1024] = fse_packed[bp.of_tid]
+            ftabs[i, 1024:1536] = fse_packed[bp.ml_tid]
+        else:
+            sq_list.append(b"")
+        lp_list.append(payload)
+        meta[i, 0] = mode
+        meta[i, 1] = content
+        meta[i, 2] = d_off
+        meta[i, 3] = regen
+
+    LPW = max(4, _ceil_pow2(-(-max(len(b) for b in lp_list) // 4)))
+    SQW = max(4, _ceil_pow2(-(-max(len(b) for b in sq_list) // 4)))
+    if LPW > pd.MAX_LP_WORDS or SQW > pd.MAX_SQ_WORDS:
+        return None
+    lp = np.zeros((B, 4 * LPW), np.uint8)
+    sq = np.zeros((B, 4 * SQW), np.uint8)
+    for i in range(B):
+        lp[i, : len(lp_list[i])] = np.frombuffer(lp_list[i], np.uint8)
+        sq[i, : len(sq_list[i])] = np.frombuffer(sq_list[i], np.uint8)
+    lp_w = lp.reshape(B, LPW, 4).view(np.int32)[:, :, 0]
+    sq_w = sq.reshape(B, SQW, 4).view(np.int32)[:, :, 0]
+
+    import os as _os2
+    import time as _t2
+    _prof2 = _os2.environ.get("ZN_PROFILE")
+    _tm = [_t2.time()]
+    outw, stat = pd.decode_blocks_smem(
+        jnp.asarray(lp_w), jnp.asarray(sq_w), jnp.asarray(dtabs),
+        jnp.asarray(ftabs), jnp.asarray(meta), interpret=interpret)
+    try:
+        outw.copy_to_host_async()
+    except Exception:
+        pass
+    stat_np = np.asarray(stat)
+    _tm.append(_t2.time())
+    if not (stat_np[:, 1] == 1).all():
+        return None
+    if not (stat_np[:, 0] == meta[:, 1]).all():
+        return None
+
+    if to_device:
+        bytes_dev = jax.lax.bitcast_convert_type(
+            outw.reshape(B, 1 << 15, 1), jnp.uint8).reshape(B, 1 << 17)
+        results_dev = []
+        cursor = 0
+        for p in plans:
+            parts = []
+            for bp in p.blocks:
+                parts.append(bytes_dev[cursor, : rows[cursor][1]])
+                cursor += 1
+            results_dev.append(parts[0] if len(parts) == 1
+                               else jnp.concatenate(parts))
+        return results_dev
+    outw_np = np.asarray(outw)
+    if _prof2:
+        import sys as _sys2
+        _tm.append(_t2.time())
+        print(f'[ZN_PROFILE smem_decode] upload+kernel+stat '
+              f'{_tm[1] - _tm[0]:.3f}s | out_fetch {_tm[2] - _tm[1]:.3f}s',
+              file=_sys2.stderr)
+    results: list[bytes] = []
+    cursor = 0
+    for p in plans:
+        parts = []
+        for bp in p.blocks:
+            parts.append(outw_np[cursor].tobytes()[: rows[cursor][1]])
+            cursor += 1
+        results.append(b"".join(parts))
+    return results
+
+
 def _frame_hints_usable(plan: _FramePlan, fh) -> bool:
     """Hints apply only when every compressed block of the frame has them
     (our encoder's output) — mixing anchored and tagged-rep blocks would
@@ -809,6 +957,25 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
     plans = [_parse_frame_impl(d, hufreg, fsereg, sz)
              for d, sz in zip(datas, d_sizes)]
     _mark('parse')
+
+    # --- preferred: fused SMEM decode, one dispatch for the whole batch
+    # ("auto" = compiled on TPU; "force" = interpret mode, CPU tests;
+    # "off" = always the XLA passes below) ---
+    smem_mode = _os.environ.get("ZN_DECODE_SMEM", "auto")
+    if smem_mode != "off":
+        on_tpu = _exec_backend_is_tpu()
+        if on_tpu or smem_mode == "force":
+            res = _try_decode_smem(plans, hufreg, fsereg, to_device,
+                                   interpret=not on_tpu)
+            _mark('smem_fused')
+            if res is not None:
+                if _prof:
+                    line = ' | '.join(
+                        f'{n} {t1 - t0:.3f}s' for (_, t0), (n, t1)
+                        in zip(_marks, _marks[1:]))
+                    print(f'[ZN_PROFILE decode] {line}', file=_sys.stderr)
+                return res
+
     use_hints = [_frame_hints_usable(p, fh) for p, fh in zip(plans, hints)]
     hint_of_block: dict[int, object] = {}
     anchored: set[int] = set()

@@ -550,18 +550,21 @@ def compact_payload(lit_words: jnp.ndarray, lit_bytes: jnp.ndarray,
     sw = (seq_bytes + 3) >> 2
     row_words = lw + sw
     base = jnp.cumsum(row_words) - row_words
-    flat = jnp.zeros((1, cap_words), jnp.uint32)
-    colL = jnp.broadcast_to(np.arange(LW, dtype=np.int32)[None, :], (B, LW))
-    idxL = (base + 0)[:, None] + colL
-    flat = C.scatter1_set(flat, idxL.reshape(1, -1),
-                          lit_words.reshape(1, -1),
-                          (colL < lw[:, None]).reshape(1, -1))
-    colS = jnp.broadcast_to(np.arange(SW, dtype=np.int32)[None, :], (B, SW))
-    idxS = (base + lw)[:, None] + colS
-    flat = C.scatter1_set(flat, idxS.reshape(1, -1),
-                          seq_words.reshape(1, -1),
-                          (colS < sw[:, None]).reshape(1, -1))
-    return flat[0], base, lw
+    # gather formulation: one gather of cap_words elements instead of
+    # scattering all B*(LW+SW) source words (scatters run ~100M elem/s;
+    # the packed output is typically ~10x smaller than the padded planes)
+    src = jnp.concatenate([lit_words, seq_words], axis=1)   # (B, LW+SW)
+    i = np.arange(cap_words, dtype=np.int32)[:, None]       # (cap, 1)
+    r = jnp.sum((base[None, :] <= i).astype(jnp.int32), axis=1) - 1
+    r = jnp.clip(r, 0, B - 1)
+    d = i[:, 0] - base[r]
+    lwr = lw[r]
+    col = jnp.where(d < lwr, d, LW + (d - lwr))
+    col = jnp.clip(col, 0, LW + SW - 1)
+    live = d < row_words[r]
+    flat = jnp.where(live, src.reshape(-1)[r * (LW + SW) + col],
+                     jnp.uint32(0))
+    return flat, base, lw
 
 
 @jax.jit

@@ -26,9 +26,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from libzseek_tpu.ops.zstd_encode import (GATE_FIXED_BITS, _ceil_to,
-                                          _linked_post, block_entropy_h16,
-                                          compact_payload)
+from libzseek_tpu.ops.zstd_encode import (GATE_FIXED_BITS, _linked_post,
+                                          block_entropy_h16, compact_payload)
+from libzseek_tpu.runtime.zstd_codec import _ceil_to
 from libzseek_tpu.ops.pallas_match import zstd_parse_linked_smem
 from libzseek_tpu.testing.corpus import mixed_corpus, text_corpus
 
