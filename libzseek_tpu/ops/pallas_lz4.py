@@ -1,24 +1,27 @@
 """Fused LZ4 block encode — hash-probe parse + inline emission in SMEM.
 
 LZ4 has no entropy stage, so the whole block encode is one sequential
-scalar pass: the zstd-fast-style probe loop (ops/pallas_match.py) emits
-each sequence's token/extension bytes, literal run (word-at-a-time copy)
-and 2-byte offset straight into an SMEM output buffer the moment a match
-is found.  This replaces hash_parse_blocks_smem + the XLA packing stage
-(_pack_lz4's scatter passes) for the TPU path.
+scalar pass: the probe loop emits each sequence's token/extension bytes,
+literal run (word-at-a-time copy) and 2-byte offset straight into an SMEM
+output buffer the moment a match is found.
 
-Linked-block context is NOT duplicated into each row: the data array holds
-one 64 KiB block per row (plus one leading context row per batch) and each
-grid step maps the same array twice — its own row and the preceding row —
-so the upload volume equals the input size instead of 2x.
+This kernel carries the same cycle-diet treatment as the zstd parse
+(ops/pallas_match.py):
 
-The hash table persists across grid steps with absolute stream
-positions (liblz4's LZ4_compress_fast_continue behavior) — context is
-never re-seeded per block, which would cost as much as the parse itself.
-Greedy walk and end rules match the two-stage path (probe stop at
-blen-12, matches end before the last 5 literals); output is golden-
-verified against stock liblz4.  Reference counterpart:
-LZ4F_compressFrame's LZ4_compress_default core
+  * ONE wide SMEM input stream per grid step (prev block || cur block,
+    concatenated on device) — two shifted SMEM streams measured ~15x
+    slower per grid step;
+  * a TAGGED hash table: entries pack {tag:7, pos:24} so tag-equality,
+    in-window, dist >= 1 and empty-slot rejections fuse into one integer
+    range check;
+  * a QUAD-PROBE miss loop: two aligned word loads yield four unaligned
+    probe words per iteration with compile-time shifts.
+
+The hash table persists across grid steps with absolute stream positions
+(liblz4's LZ4_compress_fast_continue behavior).  Greedy walk and end
+rules match liblz4 (probe stop at blen-12, matches end before the last
+5 literals); output is golden-verified against stock liblz4.  Reference
+counterpart: LZ4F_compressFrame's LZ4_compress_default core
 (/root/reference/src/compress.c:737-786).
 """
 
@@ -35,17 +38,18 @@ from jax.experimental.pallas import tpu as pltpu
 PRIME = np.uint32(2654435761)
 
 
-def _lz4_kernel(prev_ref, cur_ref, len_ref, out_ref, olen_ref, table_ref, *,
-                hash_log: int, start_ip: int, max_offset: int):
-    # logical window: bytes [0, CW*4) = previous block (context), bytes
-    # [CW*4, CW*4 + NW*4) = this block
-    CW = prev_ref.shape[2]
-    NW = cur_ref.shape[2]
+def _lz4_kernel(win_ref, len_ref, out_ref, olen_ref, table_ref, *,
+                hash_log: int, block_bytes: int, max_offset: int):
+    # window coords: [0, block_bytes) = previous block (context),
+    # [block_bytes, blen) = this block; absolute position = base + p
+    WW = win_ref.shape[2]
     tab_size = 1 << hash_log
     shift = np.uint32(32 - hash_log)
+    TAGB_SH = hash_log - 1
+    TAG_MASK = 0x7F << 24
 
     b = pl.program_id(0)
-    base = b * (4 * CW)          # absolute position of the window start
+    base = b * block_bytes
 
     @pl.when(b == 0)
     def _():
@@ -60,12 +64,11 @@ def _lz4_kernel(prev_ref, cur_ref, len_ref, out_ref, olen_ref, table_ref, *,
     limit = blen - 12
     lit_limit = blen - 5    # matches may not cover the last 5 bytes
 
+    def U(v):
+        return v.astype(jnp.uint32)
+
     def word(q):
-        # dual-ref read: context (prev row) below CW, this block above
-        inprev = q < CW
-        pw = prev_ref[0, 0, jnp.minimum(q, CW - 1)]
-        cw = cur_ref[0, 0, jnp.clip(q - CW, 0, NW - 1)]
-        return jnp.where(inprev, pw, cw)
+        return win_ref[0, 0, jnp.clip(q, 0, WW - 1)]
 
     def byte(i):
         return (word(i >> 2) >> ((i & 3) * 8)) & 0xFF
@@ -73,34 +76,51 @@ def _lz4_kernel(prev_ref, cur_ref, len_ref, out_ref, olen_ref, table_ref, *,
     def w32(i):
         q = i >> 2
         sh = ((i & 3) * 8).astype(jnp.uint32)
-        lo = word(q).astype(jnp.uint32)
-        hi = word(q + 1).astype(jnp.uint32)
+        lo = U(word(q))
+        hi = U(word(q + 1))
         v = (lo >> sh) | jnp.where(
             sh == 0, jnp.uint32(0), hi << (jnp.uint32(32) - sh))
         return v.astype(jnp.int32)
 
-    # fast single-ref variants for positions known to be >= CW*4 (the
-    # probe pointer, forward extension and literal sources never reach
-    # back into the context row)
+    # unclamped fast path (callers stay in window bounds)
     def byte_c(i):
-        j = i - 4 * CW
-        return (cur_ref[0, 0, j >> 2] >> ((j & 3) * 8)) & 0xFF
+        return (win_ref[0, 0, i >> 2] >> ((i & 3) * 8)) & 0xFF
 
     def w32_c(i):
-        j = i - 4 * CW
-        q = j >> 2
-        sh = ((j & 3) * 8).astype(jnp.uint32)
-        lo = cur_ref[0, 0, q].astype(jnp.uint32)
-        hi = cur_ref[0, 0, jnp.minimum(q + 1, NW - 1)].astype(jnp.uint32)
+        q = i >> 2
+        sh = ((i & 3) * 8).astype(jnp.uint32)
+        lo = U(win_ref[0, 0, q])
+        hi = U(win_ref[0, 0, jnp.minimum(q + 1, WW - 1)])
         v = (lo >> sh) | jnp.where(
             sh == 0, jnp.uint32(0), hi << (jnp.uint32(32) - sh))
         return v.astype(jnp.int32)
 
-    def out_write(p, b):
+    def h_tagb(u):
+        h = (u >> shift).astype(jnp.int32)
+        tagb = ((u << TAGB_SH).astype(jnp.int32)) & TAG_MASK
+        return h, tagb
+
+    def probe_sig(ip):
+        # unclamped loads: probes stay >= 12 bytes from block end
+        q = ip >> 2
+        sh = ((ip & 3) * 8).astype(jnp.uint32)
+        lo = U(win_ref[0, 0, q])
+        hi = U(win_ref[0, 0, q + 1])
+        w = ((lo >> sh) | jnp.where(
+            sh == 0, jnp.uint32(0),
+            hi << (jnp.uint32(32) - sh))).astype(jnp.int32)
+        h, tagb = h_tagb(U(w) * PRIME)
+        return h, tagb, w
+
+    def insert_at(p):
+        h, tagb = h_tagb(U(w32_c(p)) * PRIME)
+        table_ref[h] = (base + p) | tagb
+
+    def out_write(p, v):
         w = p >> 2
         sh = (p & 3) * 8
         old = out_ref[0, 0, w]
-        out_ref[0, 0, w] = (old & ~(0xFF << sh)) | ((b & 0xFF) << sh)
+        out_ref[0, 0, w] = (old & ~(0xFF << sh)) | ((v & 0xFF) << sh)
 
     def out_write_w(w, v):
         out_ref[0, 0, w] = v
@@ -171,43 +191,118 @@ def _lz4_kernel(prev_ref, cur_ref, len_ref, out_ref, olen_ref, table_ref, *,
                           lambda o: o, op)
         return op
 
-    def body(state):
-        ip, anchor, op, miss = state
-        w = w32_c(ip)
-        h = ((w.astype(jnp.uint32) * PRIME) >> shift).astype(jnp.int32)
-        cand_abs = table_ref[h]
-        table_ref[h] = base + ip
-        cand = cand_abs - base   # local window position (may be negative)
-        good = (cand_abs >= min_ref) & (base + ip - cand_abs <= max_offset)
-        good = good & (w32(jnp.clip(cand, 0, 8 * CW)) == w)
+    def do_match_at(ip, anchor, op, miss, cand_abs, w):
+        """Confirm the candidate's bytes (tag collisions), then extend and
+        emit; unconfirmed candidates take the miss transition."""
+        cand = cand_abs - base
+        conf = w32(cand) == w
 
-        def do_match(_):
+        def hit(_):
             l = extend(ip, cand)
             op2 = emit_seq(op, anchor, ip, l, ip - cand)
+            # keep the table warm at the match tail (liblz4 stores ip-2
+            # after a match); clamped insert, may sit near block end
+            insert_at(ip + l - 2)
             return ip + l, ip + l, op2, jnp.int32(0)
 
         def do_miss(_):
             return ip + 1 + (miss >> 6), anchor, op, miss + 1
 
-        return jax.lax.cond(good, do_match, do_miss, None)
+        return jax.lax.cond(conf, hit, do_miss, None)
 
-    if start_ip > 0:
-        # seed the batch's context row once; later steps inherit the
-        # table (absolute positions) from their predecessors
-        @pl.when(b == 0)
-        def _():
-            def seed(p, _):
-                w = w32(p)
-                h = ((w.astype(jnp.uint32) * PRIME)
-                     >> shift).astype(jnp.int32)
-                table_ref[h] = p
-                return 0
+    def body1(state):
+        ip, anchor, op, miss = state
+        h, tagb, w = probe_sig(ip)
+        entry = table_ref[h]
+        pos = base + ip
+        wlo = jnp.maximum(min_ref, pos - max_offset)
+        good = (entry >= tagb + wlo) & (entry < tagb + pos)
+        table_ref[h] = pos | tagb
 
-            jax.lax.fori_loop(jnp.int32(0), jnp.int32(start_ip - 3),
-                              seed, 0)
-    ip0 = jnp.int32(start_ip)
+        def hit(_):
+            return do_match_at(ip, anchor, op, miss, entry & 0xFFFFFF, w)
+
+        def do_miss(_):
+            return ip + 1 + (miss >> 6), anchor, op, miss + 1
+
+        return jax.lax.cond(good, hit, do_miss, None)
+
+    # --- quad miss loop: probe four word-aligned positions per iteration
+    # from two aligned loads; hits exit to the shared match arm ---
+
+    def qcond(s):
+        q, fnd = s[0], s[1]
+        return (fnd == 0) & (4 * q <= blen - 16)
+
+    def qbody(s):
+        q, fnd, e0, e1, e2, e3, miss, qp = s
+        w0 = U(win_ref[0, 0, q])
+        w1 = U(win_ref[0, 0, q + 1])
+        pos0 = base + 4 * q
+        # one window bound for all four positions (conservative by 3
+        # bytes at the far edge, so emitted dists stay <= max_offset)
+        wlo = jnp.maximum(min_ref, pos0 - (max_offset - 3))
+        es = []
+        for k in range(4):
+            wk = w0 if k == 0 else \
+                ((w0 >> (8 * k)) | (w1 << (32 - 8 * k)))
+            u = wk * PRIME
+            h = (u >> shift).astype(jnp.int32)
+            tagb = ((u << TAGB_SH).astype(jnp.int32)) & TAG_MASK
+            entry = table_ref[h]
+            pos_k = pos0 + k
+            good = (entry >= tagb + wlo) & (entry < tagb + pos_k)
+            table_ref[h] = pos_k | tagb
+            fnd = fnd | (good.astype(jnp.int32) << k)
+            es.append(entry)
+        return (q + 1 + (miss >> 8), fnd, es[0], es[1], es[2], es[3],
+                miss + 4, q)
+
+    def outer(state):
+        # realign: single-step while ip is not word-aligned
+        st = jax.lax.while_loop(
+            lambda s: (s[0] < limit) & ((s[0] & 3) != 0), body1, state)
+        ip, anchor, op, miss = st
+        q0 = ip >> 2
+        z = jnp.int32(0)
+        qs = jax.lax.while_loop(
+            qcond, qbody, (q0, z, z, z, z, z, miss, q0))
+        q, fnd, e0, e1, e2, e3, missq, qp = qs
+
+        def with_hit(_):
+            k = jnp.where(
+                (fnd & 1) != 0, jnp.int32(0), jnp.where(
+                    (fnd & 2) != 0, jnp.int32(1), jnp.where(
+                        (fnd & 4) != 0, jnp.int32(2), jnp.int32(3))))
+            entry = jnp.where(
+                (fnd & 1) != 0, e0, jnp.where(
+                    (fnd & 2) != 0, e1, jnp.where(
+                        (fnd & 4) != 0, e2, e3)))
+            iph = 4 * qp + k
+            wv = w32_c(iph)
+            return do_match_at(iph, anchor, op, missq,
+                               entry & 0xFFFFFF, wv)
+
+        def no_hit(_):
+            # tail (< 16 bytes to the limit): single-step to the end
+            st2 = (4 * q, anchor, op, missq)
+            return jax.lax.while_loop(lambda s: s[0] < limit, body1, st2)
+
+        return jax.lax.cond(fnd != 0, with_hit, no_hit, None)
+
+    # seed the batch's context row once (liblz4 dictionary loading); later
+    # steps inherit the table (absolute positions) from their predecessors
+    @pl.when(b == 0)
+    def _():
+        def seed(p, _):
+            insert_at(p)
+            return 0
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(block_bytes - 3), seed, 0)
+
+    ip0 = jnp.int32(block_bytes)
     ip, anchor, op, miss = jax.lax.while_loop(
-        lambda s: s[0] < limit, body,
+        lambda s: s[0] < limit, outer,
         (ip0, ip0, jnp.int32(0), jnp.int32(0)))
     # final literal run [anchor, blen)
     litlen = blen - anchor
@@ -234,30 +329,33 @@ def lz4_emit_blocks_smem(blocks: jnp.ndarray, lengths: jnp.ndarray,
     blocks: (B+1, block_bytes) uint8 — row 0 is the context for row 1;
     row r is both block r and the context of block r+1.  lengths (B,)
     = context + block bytes per encoded row (i.e. block_bytes + size of
-    block r); min_ref (B,) first referenceable byte in the logical
-    [context | block] window.  Returns (out_words (B, out_cap//4) int32,
-    out_len (B,) int32)."""
+    block r); min_ref (B,) first referenceable ABSOLUTE byte position
+    (block r's bytes occupy absolute [(r+1)*block_bytes, ...)).  Returns
+    (out_words (B, out_cap//4) int32, out_len (B,) int32)."""
     B1, N = blocks.shape
     B = B1 - 1
+    # table entries pack absolute positions into 24 bits (7-bit tag above)
+    assert B1 * N <= (1 << 24), "batch too large for tagged-table positions"
     NW = N // 4
     OW = out_cap // 4
     assert N == block_bytes
     words = jax.lax.bitcast_convert_type(
         blocks.reshape(B1, NW, 4), jnp.int32)
-    kernel = partial(_lz4_kernel, hash_log=hash_log, start_ip=block_bytes,
+    kernel = partial(_lz4_kernel, hash_log=hash_log, block_bytes=block_bytes,
                      max_offset=max_offset)
 
-    def smem(shape, shift=0):
+    def smem(shape):
         return pl.BlockSpec(memory_space=pltpu.SMEM,
                             block_shape=(1,) + shape[1:],
-                            index_map=lambda b: (b + shift,) + (0,) *
+                            index_map=lambda b: (b,) + (0,) *
                             (len(shape) - 1))
 
+    # ONE wide SMEM input stream (prev || cur), concatenated on device
+    wide = jnp.concatenate([words[:-1], words[1:]], axis=1)
     out, olen = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[smem((B1, 1, NW)), smem((B1, 1, NW), shift=1),
-                  smem((B, 1, 2))],
+        in_specs=[smem((B, 1, 2 * NW)), smem((B, 1, 2))],
         out_specs=[smem((B, 1, OW)), smem((B, 1, 1))],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, OW), jnp.int32),
@@ -265,7 +363,7 @@ def lz4_emit_blocks_smem(blocks: jnp.ndarray, lengths: jnp.ndarray,
         ],
         scratch_shapes=[pltpu.SMEM((1 << hash_log,), jnp.int32)],
         interpret=interpret,
-    )(words.reshape(B1, 1, NW), words.reshape(B1, 1, NW),
+    )(wide.reshape(B, 1, 2 * NW),
       jnp.stack([lengths.astype(jnp.int32), min_ref.astype(jnp.int32)],
                 axis=1).reshape(B, 1, 2))
     return out[:, 0], olen[:, 0, 0]

@@ -59,6 +59,24 @@ class LZ4Codec:
             devs = jax.devices()
             if len(devs) > 1:
                 self._devices = devs[: min(workers, len(devs))]
+        # adaptive payload-fetch cap, same scheme as ZstdCodec: size the
+        # compacted-payload fetch from recent batches' realized compressed
+        # bytes instead of the compress bound (which is ~the raw batch size
+        # and made the downlink fetch dominate the LZ4 wall time)
+        from collections import deque
+        self._cap_hint: int | None = None
+        self._needs = deque([1], maxlen=8)
+
+    @staticmethod
+    def _bucket_words(n: int) -> int:
+        n = max(int(n), 1 << 12)
+        e = max(0, n.bit_length() - 3)
+        return ((n + (1 << e) - 1) >> e) << e
+
+    def _cap_words_for(self, batch_words: int) -> int:
+        if self._cap_hint is None:
+            return self._bucket_words(batch_words // 2 + (1 << 12))
+        return self._cap_hint
 
     def _put(self, arr):
         if self._devices is None:
@@ -171,14 +189,12 @@ class LZ4Codec:
             for i, (_, _, sz) in enumerate(chunk):
                 sizes[i] = sz
             live = jnp.where(olens < jnp.asarray(sizes), olens, 0)
-            cap_bytes = sum(lz4_compress_bound(sz) + 8
-                            for _, _, sz in chunk) + 256
-            cap_words = max(1024, 1 << int(cap_bytes // 4).bit_length())
+            cap_words = self._cap_words_for(Bp * BLOCK // 4)
             dummy = jnp.zeros((Bp, 1), jnp.uint32)
             zb = jnp.zeros((Bp,), jnp.int32)
-            flat, base_w, _lw = compact_payload(
-                jax.lax.bitcast_convert_type(out, jnp.uint32), live,
-                dummy, zb, cap_words)
+            out_u32 = jax.lax.bitcast_convert_type(out, jnp.uint32)
+            flat, base_w, _lw = compact_payload(out_u32, live,
+                                                dummy, zb, cap_words)
             meta = jnp.concatenate([olens, base_w,
                                     jax.lax.bitcast_convert_type(
                                         flat, jnp.int32)])
@@ -186,7 +202,7 @@ class LZ4Codec:
                 meta.copy_to_host_async()
             except Exception:
                 pass
-            return ("fused", Bp, sizes, meta)
+            return ("fused", Bp, sizes, meta, cap_words, (out_u32, live))
         X = np.zeros((Bp, ctx + BLOCK), np.uint8)
         lens = np.zeros((Bp,), np.int32)
         min_ref = np.zeros((Bp,), np.int32)
@@ -208,11 +224,29 @@ class LZ4Codec:
     def _finish_batch(self, B, staged) -> list[bytes]:
         """Fetch one batch's results -> per-block payload bytes."""
         if staged[0] == "fused":
-            _, Bp, sizes, meta = staged
+            _, Bp, sizes, meta, cap_words, streams = staged
             fetched = np.asarray(meta)
             olens = fetched[:Bp]
             base_w = fetched[Bp: 2 * Bp]
-            flat = fetched[2 * Bp:].view(np.uint8)
+            live = np.where(olens[:len(sizes)] < sizes, olens[:len(sizes)], 0)
+            need = int(base_w[len(sizes) - 1]) + (int(live[-1]) + 3) // 4 \
+                if len(sizes) else 0
+            if need > cap_words:
+                # adaptive cap undershot: recompact at the exact bucket and
+                # refetch (rare, costs one extra round trip)
+                from libzseek_tpu.ops.zstd_encode import compact_payload
+                out_u32, live_dev = streams
+                cap_words = self._bucket_words(need)
+                dummy = jnp.zeros((Bp, 1), jnp.uint32)
+                zb = jnp.zeros((Bp,), jnp.int32)
+                flat_d, base_d, _lw = compact_payload(out_u32, live_dev,
+                                                      dummy, zb, cap_words)
+                flat = np.asarray(flat_d).view(np.uint8)
+                base_w = np.asarray(base_d)
+            else:
+                flat = fetched[2 * Bp:].view(np.uint8)
+            self._needs.append(need)
+            self._cap_hint = self._bucket_words(int(max(self._needs) * 1.4))
             # None = store raw (payload was excluded from the fetch)
             return [None if olens[i] >= sizes[i] else
                     flat[4 * int(base_w[i]): 4 * int(base_w[i]) +
