@@ -43,6 +43,12 @@ def _load():
     lib.zn_seektable_serialize.restype = ctypes.c_int64
     lib.zn_seektable_parse.argtypes = [u8p, ctypes.c_int64, i64p]
     lib.zn_seektable_parse.restype = ctypes.c_int64
+    if hasattr(lib, "zn_zir_execute"):
+        lib.zn_zir_execute.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64]
+        lib.zn_zir_execute.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -130,3 +136,26 @@ def seektable_parse(table_frame: bytes):
     if n < 0:
         return None
     return int(n), cum[: n + 1]
+
+
+def zir_execute(lits, lit_n: int, toks, n_seq: int,
+                out: np.ndarray, base: int) -> int:
+    """Expand a transcoded block (literal bytes + packed sequence tokens
+    from the fused decode kernel) into `out` (the frame buffer) at `base`.
+    lits: buffer supporting the buffer protocol (np.uint8 array / bytes);
+    toks: np.uint32 array (2 words per sequence).  Returns the block's
+    decompressed size, or -1 on corrupt input."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "zn_zir_execute"):
+        return -2
+    lits_p = (ctypes.c_char * max(1, lit_n)).from_buffer_copy(
+        bytes(lits[:lit_n])) if not isinstance(lits, np.ndarray) else None
+    if isinstance(lits, np.ndarray):
+        lits = np.ascontiguousarray(lits[:lit_n], np.uint8)
+        lp = lits.ctypes.data
+    else:
+        lp = ctypes.addressof(lits_p)
+    toks = np.ascontiguousarray(toks, np.uint32)
+    return int(lib.zn_zir_execute(
+        lp, lit_n, toks.ctypes.data, n_seq,
+        out.ctypes.data, out.shape[0], base))

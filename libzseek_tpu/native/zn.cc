@@ -555,4 +555,54 @@ int64_t zn_seektable_parse(const uint8_t* table_frame, int64_t frame_bytes,
   return nf;
 }
 
+// ---------------------------------------------------------------------------
+// ZIR execution: expand (literals, packed sequence tokens) produced by the
+// transcode mode of the fused TPU decode kernel (ops/pallas_decode.py) into
+// the decompressed block bytes.  The TPU does the entropy work (Huffman +
+// FSE); this is the memory-speed LZ copy half the reference gets from
+// ZSTD_decompressDCtx (/root/reference/src/decompress.c:537).
+//
+// Token packing (2 uint32 words per sequence):
+//   w0 = ll | (ml_lo14 << 18)      w1 = off | (ml_hi4 << 18)
+//   ll = w0 & 0x3FFFF; ml = ((w0 >> 18) & 0x3FFF) | ((w1 >> 18) << 14);
+//   off = w1 & 0x3FFFF
+//
+// out is the whole frame buffer (match offsets may reach back into earlier
+// blocks); base = this block's decompressed offset within the frame.
+// Returns the block's decompressed size, or -1 on any bounds violation
+// (corrupt stream -> caller falls back / raises).
+int64_t zn_zir_execute(const uint8_t* lits, int64_t lit_n,
+                       const uint32_t* toks, int64_t n_seq,
+                       uint8_t* out, int64_t out_cap, int64_t base) {
+  int64_t op = base, lp = 0;
+  for (int64_t i = 0; i < n_seq; ++i) {
+    uint32_t w0 = toks[2 * i], w1 = toks[2 * i + 1];
+    int64_t ll = w0 & 0x3FFFF;
+    int64_t ml = ((w0 >> 18) & 0x3FFF) | ((int64_t)(w1 >> 18) << 14);
+    int64_t off = w1 & 0x3FFFF;
+    if (lp + ll > lit_n || op + ll + ml > out_cap) return -1;
+    std::memcpy(out + op, lits + lp, (size_t)ll);
+    op += ll;
+    lp += ll;
+    if (off < 1 || off > op) return -1;
+    uint8_t* d = out + op;
+    // overlap-safe periodic copy: seed one period (non-overlapping since
+    // src + off == d), then double the valid region
+    int64_t seed = off < ml ? off : ml;
+    std::memcpy(d, d - off, (size_t)seed);
+    int64_t copied = seed;
+    while (copied < ml) {
+      int64_t c = copied < ml - copied ? copied : ml - copied;
+      std::memcpy(d + copied, d, (size_t)c);
+      copied += c;
+    }
+    op += ml;
+  }
+  int64_t trail = lit_n - lp;
+  if (trail < 0 || op + trail > out_cap) return -1;
+  std::memcpy(out + op, lits + lp, (size_t)trail);
+  op += trail;
+  return op - base;
+}
+
 }  // extern "C"

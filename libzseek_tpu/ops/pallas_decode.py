@@ -45,6 +45,20 @@ DMODE_HUF1 = 2       # literal section: 1-stream Huffman
 DMODE_DIRECT = 4     # literal payload is the literal bytes themselves
 DMODE_SEQ = 8        # block has a sequence section (n_seq > 0)
 DMODE_FRAME_START = 16  # first block of a frame: reset repcode state
+DMODE_TRANSCODE = 32    # emit (literals, packed seq tokens) instead of
+                        # executing matches: the host C executor
+                        # (native/zn.cc zn_zir_execute) expands them at
+                        # memory speed, so only ~compressed-size bytes
+                        # cross the device->host link instead of the full
+                        # decompressed frame
+DMODE_LIT_HOST = 64     # literals stay on host (raw/RLE section of a
+                        # transcoded block): nothing uploaded or fetched
+
+# transcode token packing (2 int32 words per sequence):
+#   w0 = ll | (ml_lo14 << 18)        w1 = off | (ml_hi << 18)
+# ll <= 2^18-1 (block max 128 KiB), ml <= 2^18-1 (131074 max), off bounded
+# by the frame position (host execution has the whole frame window, so
+# transcode accepts offsets beyond the exec path's 128 KiB ring)
 
 _RING_WORDS = 1 << 16   # 256 KiB ring, shared bound with execute_blocks_smem
 _HUF_PEEK = 12
@@ -93,6 +107,7 @@ def _decode_kernel(lp_ref, sq_ref, dtab_ref, ftab_ref, meta_ref, ctab_ref,
     regen = meta_ref[0, 0, 3]
     n_seq = meta_ref[0, 0, 13]
     tlp = meta_ref[0, 0, 14]
+    tc = (mode & DMODE_TRANSCODE) != 0
 
     # ---- unaligned bit reads from a packed word ref ----
     def u32_at(ref, W, b):
@@ -173,7 +188,7 @@ def _decode_kernel(lp_ref, sq_ref, dtab_ref, ftab_ref, meta_ref, ctab_ref,
     stat_ref[0, 0, 3] = 0
 
     # ---------------- literal section -> lit buffer ----------------
-    @pl.when((mode & DMODE_DIRECT) != 0)
+    @pl.when(((mode & DMODE_DIRECT) != 0) & ((mode & DMODE_LIT_HOST) == 0))
     def _():
         def cpw(w, _):
             lit_store(w, lp_ref[0, 0, w])
@@ -339,9 +354,10 @@ def _decode_kernel(lp_ref, sq_ref, dtab_ref, ftab_ref, meta_ref, ctab_ref,
                                        jnp.where(idx == 2, r3, r2)))
             n_r2 = jnp.where(ofv > 3, r1, jnp.where(idx == 1, r2, r1))
             r1, r2, r3 = off, n_r2, n_r3
-            okf = okf & jnp.where(
-                (off >= 1) & (off <= jnp.minimum(op + ll, MAX_OFFSET)),
-                1, 0)
+            # transcode: any in-frame offset the 18-bit token field holds
+            lim = jnp.where(tc, jnp.minimum(op + ll, 0x3FFFF),
+                            jnp.minimum(op + ll, MAX_OFFSET))
+            okf = okf & jnp.where((off >= 1) & (off <= lim), 1, 0)
             # state updates (skipped for the last sequence): LL, ML, OF
             upd = t < n_seq - 1
             nb_ll = (e_ll >> 8) & 255
@@ -359,11 +375,25 @@ def _decode_kernel(lp_ref, sq_ref, dtab_ref, ftab_ref, meta_ref, ctab_ref,
             s_ll = jnp.where(upd, s_ll_n, s_ll)
             s_ml = jnp.where(upd, s_ml_n, s_ml)
             s_of = jnp.where(upd, s_of_n, s_of)
+            # transcode: emit one packed 2-word token after the literal
+            # words; execution happens on the host (zn_zir_execute)
+            @pl.when(tc)
+            def _():
+                # tokens follow the literal words (at word 0 when the
+                # literals never entered the device)
+                lw = jnp.where((mode & DMODE_LIT_HOST) != 0, 0,
+                               (regen + 3) >> 2)
+                tw = lw + 2 * t
+                out_ref[0, 0, tw] = ll | ((ml & 0x3FFF) << 18)
+                out_ref[0, 0, tw + 1] = off | ((ml >> 14) << 18)
+
             # execute (clamped on corruption so addressing stays in range;
-            # okf reports the failure)
+            # okf reports the failure); zero-length in transcode mode
             offc = jnp.clip(off, 1, MAX_OFFSET)
-            lit_copy(op, lp, ll)
-            match_copy(op + ll, offc, ml)
+            ll_x = jnp.where(tc, 0, ll)
+            ml_x = jnp.where(tc, 0, ml)
+            lit_copy(op, lp, ll_x)
+            match_copy(op + ll_x, offc, ml_x)
             return (t + 1, pos, s_ll, s_of, s_ml, r1, r2, r3,
                     op + ll + ml, lp + ll, okf)
 
@@ -388,18 +418,20 @@ def _decode_kernel(lp_ref, sq_ref, dtab_ref, ftab_ref, meta_ref, ctab_ref,
     op, lp = jax.lax.cond(((mode & DMODE_SEQ) != 0) & (n_seq > 0),
                           with_seqs, no_seqs)
 
-    # trailing literals
+    # trailing literals (already in place in transcode mode)
     trail = jnp.maximum(regen - lp, 0)
-    lit_copy(op, lp, trail)
+    lit_copy(op, lp, jnp.where(tc, 0, trail))
     op = op + trail
     stat_ref[0, 0, 0] = op - base
 
-    # stream the block's bytes out of the ring (blocks start word-aligned)
+    # stream the block's bytes out of the ring (blocks start word-aligned);
+    # transcode keeps the out window as [literal words][token words]
     def out_copy(w, _):
         out_ref[0, 0, w] = ring_ref[((base >> 2) + w) & M]
         return 0
 
-    jax.lax.fori_loop(0, (op - base + 3) >> 2, out_copy, 0)
+    jax.lax.fori_loop(0, jnp.where(tc, 0, (op - base + 3) >> 2),
+                      out_copy, 0)
 
 
 @partial(jax.jit, static_argnames=("interpret",))

@@ -875,6 +875,217 @@ def _try_decode_smem(plans, hufreg: _HufReg, fsereg: _FseReg,
     return results
 
 
+@partial(jax.jit, static_argnames=("D",))
+def _gather_rows(outw: jnp.ndarray, starts: jnp.ndarray,
+                 prefix: jnp.ndarray, D: int):
+    """Pack variable-length word runs out of per-block rows into one dense
+    array: run i = outw[i, starts[i] : starts[i] + prefix[i+1] - prefix[i]]
+    lands at dense[prefix[i] : prefix[i+1]].  The dense array is what
+    crosses the device->host link — exact content, no per-row padding."""
+    B, W = outw.shape
+    j = jnp.arange(D, dtype=jnp.int32)
+    row = jnp.clip(jnp.searchsorted(prefix, j, side="right") - 1, 0, B - 1)
+    col = jnp.take(starts, row) + (j - jnp.take(prefix, row))
+    idx = row * W + jnp.clip(col, 0, W - 1)
+    return jnp.take(outw.reshape(-1), idx, mode="clip")
+
+
+def _size_bucket(n: int) -> int:
+    """Round up to 3-mantissa-bit granularity: bounded executable count
+    across batches, <= ~14% fetch overshoot."""
+    n = max(n, 1024)
+    step = 1 << max(0, n.bit_length() - 3)
+    return -(-n // step) * step
+
+
+def _try_decode_transcode(plans, hufreg: _HufReg, fsereg: _FseReg,
+                          interpret: bool):
+    """Fused decode with HOST-side sequence execution: the kernel runs
+    Huffman + FSE only and emits (literal bytes, packed 2-word sequence
+    tokens); the native executor (native/zn.cc zn_zir_execute) expands
+    them into frame bytes at memory speed.  Only ~compressed-size bytes
+    cross the device->host link instead of the decompressed frames — the
+    e2e sequential-decode win over the in-kernel execution path, whose
+    output fetch is downlink-bound.  Raw/RLE-literal blocks never visit
+    the device at all (the host already holds their bytes).
+
+    Returns per-frame bytes, or None when ineligible (kernel limits, no
+    native library, prediction mismatch) — caller falls back."""
+    from libzseek_tpu import native
+    if not native.have_native():
+        return None
+    from libzseek_tpu.ops import pallas_decode as pd
+
+    rows = []    # (bp, content, d_off, mode, dev_lit, regen, lit_words)
+    frames = []  # per frame: ('host', d_off, content, bytes) |
+                 #            ('row', row_idx, d_off, content, bp, ...)
+    for p in plans:
+        d_off = 0
+        fstart = True
+        fr = []
+        for bp in p.blocks:
+            if bp.lit_direct is not None and bp.n_seq == 0:
+                # literal-only block: decompressed bytes are the literal
+                # bytes the host already parsed — pure host memcpy
+                content = len(bp.lit_direct)
+                if bp.content >= 0 and bp.content != content:
+                    return None
+                fr.append(("host", d_off, content, bp.lit_direct))
+                d_off += content
+                continue
+            if bp.content >= 0:
+                content = bp.content
+            else:
+                content = min(zf.BLOCK_MAX, p.content_size - d_off)
+            if content < 0 or content > zf.BLOCK_MAX:
+                return None
+            dev_lit = bool(bp.huf_lanes)
+            regen = (sum(l.n_out for l in bp.huf_lanes) if dev_lit
+                     else len(bp.lit_direct or b""))
+            lw = ((regen + 3) // 4) if dev_lit else 0
+            if lw + 2 * bp.n_seq > (1 << 15) or regen > zf.BLOCK_MAX:
+                return None
+            mode = pd.DMODE_TRANSCODE
+            if fstart:
+                mode |= pd.DMODE_FRAME_START
+            fstart = False
+            fr.append(("row", len(rows), d_off, content, bp, dev_lit,
+                       regen))
+            rows.append((bp, content, d_off, mode, dev_lit, regen, lw))
+            d_off += content
+        if d_off != p.content_size:
+            return None
+        frames.append(fr)
+
+    if not rows:  # every block host-resident
+        return [b"".join(bytes(e[3]) for e in fr) for fr in frames]
+
+    B = len(rows)
+    lp_list: list[bytes] = []
+    sq_list: list[bytes] = []
+    meta = np.zeros((B, pd.META_W), np.int32)
+    huf_packed = hufreg.packed()
+    fse_packed = fsereg.packed()
+    dtabs = np.zeros((B, 1 << _HUF_PEEK), np.int32)
+    ftabs = np.zeros((B, 1536), np.int32)
+    for i, (bp, content, d_off, mode, dev_lit, regen, lw) in \
+            enumerate(rows):
+        payload = b""
+        if dev_lit:
+            lanes = bp.huf_lanes
+            if len(lanes) == 1:
+                mode |= pd.DMODE_HUF1
+            else:
+                mode |= pd.DMODE_HUF4
+                per = (regen + 3) // 4
+                if [l.n_out for l in lanes] != [per, per, per,
+                                                regen - 3 * per]:
+                    return None
+            parts, off = [], 0
+            for s, l in enumerate(lanes):
+                meta[i, 4 + s] = _sentinel_bits(l.stream)
+                meta[i, 8 + s] = off
+                parts.append(l.stream)
+                off += len(l.stream)
+            payload = b"".join(parts)
+            dtabs[i] = huf_packed[lanes[0].tid]
+        else:
+            mode |= pd.DMODE_DIRECT | pd.DMODE_LIT_HOST
+        if bp.n_seq > 0:
+            mode |= pd.DMODE_SEQ
+            sq_list.append(bp.seq_stream)
+            meta[i, 12] = _sentinel_bits(bp.seq_stream)
+            meta[i, 13] = bp.n_seq
+            meta[i, 14] = (bp.ll_tl | (bp.of_tl << 8) | (bp.ml_tl << 16))
+            ftabs[i, 0:512] = fse_packed[bp.ll_tid]
+            ftabs[i, 512:1024] = fse_packed[bp.of_tid]
+            ftabs[i, 1024:1536] = fse_packed[bp.ml_tid]
+        else:
+            sq_list.append(b"")
+        lp_list.append(payload)
+        meta[i, 0] = mode
+        meta[i, 1] = content
+        meta[i, 2] = d_off
+        meta[i, 3] = regen
+
+    LPW = max(4, _ceil_pow2(-(-max(len(b) for b in lp_list) // 4)))
+    SQW = max(4, _ceil_pow2(-(-max(len(b) for b in sq_list) // 4)))
+    if LPW > pd.MAX_LP_WORDS or SQW > pd.MAX_SQ_WORDS:
+        return None
+    lp = np.zeros((B, 4 * LPW), np.uint8)
+    sq = np.zeros((B, 4 * SQW), np.uint8)
+    for i in range(B):
+        lp[i, : len(lp_list[i])] = np.frombuffer(lp_list[i], np.uint8)
+        sq[i, : len(sq_list[i])] = np.frombuffer(sq_list[i], np.uint8)
+    lp_w = lp.reshape(B, LPW, 4).view(np.int32)[:, :, 0]
+    sq_w = sq.reshape(B, SQW, 4).view(np.int32)[:, :, 0]
+
+    litw = np.array([r[6] for r in rows], np.int32)
+    tokw = np.array([2 * r[0].n_seq for r in rows], np.int32)
+    lit_prefix = np.zeros(B + 1, np.int32)
+    lit_prefix[1:] = np.cumsum(litw)
+    tok_prefix = np.zeros(B + 1, np.int32)
+    tok_prefix[1:] = np.cumsum(tokw)
+    Dl = _size_bucket(int(lit_prefix[-1]))
+    Dt = _size_bucket(int(tok_prefix[-1]))
+
+    import os as _os3
+    import sys as _sys3
+    import time as _t3
+    _prof3 = _os3.environ.get("ZN_PROFILE")
+    _tm = [_t3.time()]
+    outw, stat = pd.decode_blocks_smem(
+        jnp.asarray(lp_w), jnp.asarray(sq_w), jnp.asarray(dtabs),
+        jnp.asarray(ftabs), jnp.asarray(meta), interpret=interpret)
+    lit_dense = _gather_rows(outw, jnp.zeros(B, jnp.int32),
+                             jnp.asarray(lit_prefix), Dl)
+    tok_dense = _gather_rows(outw, jnp.asarray(litw),
+                             jnp.asarray(tok_prefix), Dt)
+    for a in (lit_dense, tok_dense):
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass
+    _tm.append(_t3.time())
+    stat_np = np.asarray(stat)
+    _tm.append(_t3.time())
+    if not (stat_np[:, 1] == 1).all() or \
+            not (stat_np[:, 0] == meta[:, 1]).all():
+        return None
+    lit_bytes = np.asarray(lit_dense).view(np.uint8)
+    tok_np = np.asarray(tok_dense).view(np.uint32)
+    _tm.append(_t3.time())
+    if _prof3:
+        print(f'[ZN_PROFILE transcode] dispatch {_tm[1]-_tm[0]:.3f}s | '
+              f'kernel+stat {_tm[2]-_tm[1]:.3f}s | '
+              f'fetch {_tm[3]-_tm[2]:.3f}s '
+              f'(lit {4*int(lit_prefix[-1])>>10}K '
+              f'tok {4*int(tok_prefix[-1])>>10}K up {sum(len(b) for b in lp_list)+sum(len(b) for b in sq_list)>>10}K)',
+              file=_sys3.stderr)
+
+    results: list[bytes] = []
+    for p, fr in zip(plans, frames):
+        out = np.empty(p.content_size, np.uint8)
+        for e in fr:
+            if e[0] == "host":
+                _, d0, content, lit = e
+                out[d0: d0 + content] = np.frombuffer(lit, np.uint8)
+                continue
+            _, ri, d0, content, bp, dev_lit, regen = e
+            toks = (tok_np[tok_prefix[ri]: tok_prefix[ri] + 2 * bp.n_seq]
+                    if bp.n_seq > 0 else np.zeros(0, np.uint32))
+            if dev_lit:
+                lits = lit_bytes[4 * lit_prefix[ri]:
+                                 4 * lit_prefix[ri] + regen]
+            else:
+                lits = np.frombuffer(bp.lit_direct or b"", np.uint8)
+            ret = native.zir_execute(lits, regen, toks, bp.n_seq, out, d0)
+            if ret != content:
+                return None
+        results.append(out.tobytes())
+    return results
+
+
 def _frame_hints_usable(plan: _FramePlan, fh) -> bool:
     """Hints apply only when every compressed block of the frame has them
     (our encoder's output) — mixing anchored and tagged-rep blocks would
@@ -965,9 +1176,19 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
     if smem_mode != "off":
         on_tpu = _exec_backend_is_tpu()
         if on_tpu or smem_mode == "force":
-            res = _try_decode_smem(plans, hufreg, fsereg, to_device,
-                                   interpret=not on_tpu)
-            _mark('smem_fused')
+            # preferred: transcode (device entropy decode + host C
+            # execution) — fetches ~compressed-size bytes instead of the
+            # decompressed frames
+            res = None
+            if not to_device and \
+                    _os.environ.get("ZN_DECODE_TRANSCODE", "auto") != "off":
+                res = _try_decode_transcode(plans, hufreg, fsereg,
+                                            interpret=not on_tpu)
+                _mark('transcode')
+            if res is None:
+                res = _try_decode_smem(plans, hufreg, fsereg, to_device,
+                                       interpret=not on_tpu)
+                _mark('smem_fused')
             if res is not None:
                 if _prof:
                     line = ' | '.join(

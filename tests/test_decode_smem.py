@@ -20,9 +20,14 @@ def rng():
     return np.random.default_rng(91)
 
 
-@pytest.fixture(autouse=True)
-def _force_smem(monkeypatch):
+@pytest.fixture(autouse=True, params=["transcode", "exec"])
+def _force_smem(monkeypatch, request):
+    """Run every case through both fused arms: transcode (device entropy +
+    host zn_zir_execute) and in-kernel execution (the device-resident
+    path)."""
     monkeypatch.setenv("ZN_DECODE_SMEM", "force")
+    monkeypatch.setenv("ZN_DECODE_TRANSCODE",
+                       "auto" if request.param == "transcode" else "off")
 
 
 def _cases(rng, n=24 * 1024):
