@@ -195,59 +195,123 @@ def _decode_kernel(lp_ref, sq_ref, dtab_ref, ftab_ref, meta_ref, ctab_ref,
             return 0
         jax.lax.fori_loop(0, (regen + 3) >> 2, cpw, 0)
 
-    @pl.when((mode & (DMODE_HUF4 | DMODE_HUF1)) != 0)
+    @pl.when((mode & DMODE_HUF1) != 0)
     def _():
-        one = (mode & DMODE_HUF1) != 0
-        per = jnp.where(one, regen, (regen + 3) >> 2)
+        # single stream (literal sets < 256 bytes): serial walk
+        sbits = meta_ref[0, 0, 4]
+        sbase8 = meta_ref[0, 0, 8] * 8
 
-        def do_stream(s, ok):
-            sbits = meta_ref[0, 0, 4 + s]
-            sbase8 = meta_ref[0, 0, 8 + s] * 8
-            n_out = jnp.where(
-                one, jnp.where(s == 0, regen, 0),
-                jnp.where(s < 3, per, jnp.maximum(regen - 3 * per, 0)))
-            dst = s * per
+        def dec1(pos):
+            v = read_at(lp_ref, LPW, sbase8, pos - _HUF_PEEK,
+                        jnp.int32(_HUF_PEEK))
+            ent = dtab_ref[0, 0, v]
+            return pos - (ent >> 8), ent & 255
 
-            def dec1(pos):
+        nq = regen >> 2
+
+        def qb(k, pos):
+            pos, s0 = dec1(pos)
+            pos, s1 = dec1(pos)
+            pos, s2 = dec1(pos)
+            pos, s3 = dec1(pos)
+            lit_store(k, s0 | (s1 << 8) | (s2 << 16) | (s3 << 24))
+            return pos
+
+        pos = jax.lax.fori_loop(0, nq, qb, sbits)
+
+        def tb(k, pos):
+            pos, sym = dec1(pos)
+            lit_write(4 * nq + k, sym)
+            return pos
+
+        pos = jax.lax.fori_loop(0, regen - 4 * nq, tb, pos)
+
+        @pl.when(pos < 0)
+        def _():
+            stat_ref[0, 0, 1] = 0
+
+    @pl.when((mode & DMODE_HUF4) != 0)
+    def _():
+        # 4 streams decoded in LOCKSTEP: four independent dependency
+        # chains overlap on the pipelined scalar core (measured ~2x the
+        # throughput of walking the streams one after another).  Each
+        # lane decodes 4 symbols per iteration into its own WORD-ALIGNED
+        # temp region (stream s at word s*per_w), so every iteration ends
+        # in one unconditional word store per lane — no partial-word
+        # bookkeeping in the hot loop.  When per % 4 != 0 the temp
+        # regions are then shifted down to the packed layout (byte offset
+        # s*per) with a one-word-lookahead overlapping copy.  Total temp
+        # is 4*ceil(per/4) <= 32768 words, so any regen <= 128 KiB fits.
+        per = (regen + 3) >> 2
+        n3 = jnp.maximum(regen - 3 * per, 0)
+        per_w = (per + 3) >> 2
+        sb0 = meta_ref[0, 0, 8] * 8
+        sb1 = meta_ref[0, 0, 9] * 8
+        sb2 = meta_ref[0, 0, 10] * 8
+        sb3 = meta_ref[0, 0, 11] * 8
+
+        def lane(t, pos, n_out, sbase8, wbase):
+            syms = []
+            for k in range(4):
+                active = 4 * t + k < n_out
                 v = read_at(lp_ref, LPW, sbase8, pos - _HUF_PEEK,
                             jnp.int32(_HUF_PEEK))
-                ent = dtab_ref[0, 0, v]
-                return pos - (ent >> 8), ent & 255
+                ent = jnp.where(active, dtab_ref[0, 0, v], 0)
+                pos = pos - (ent >> 8)
+                syms.append(ent & 255)
+            lit_store(wbase + t, syms[0] | (syms[1] << 8) |
+                      (syms[2] << 16) | (syms[3] << 24))
+            return pos
 
-            # head: align dst to a word boundary
-            head = jnp.minimum(n_out, (-dst) & 3)
+        def body(t, st):
+            p0, p1, p2, p3 = st
+            p0 = lane(t, p0, per, sb0, 0)
+            p1 = lane(t, p1, per, sb1, per_w)
+            p2 = lane(t, p2, per, sb2, 2 * per_w)
+            p3 = lane(t, p3, n3, sb3, 3 * per_w)
+            return p0, p1, p2, p3
 
-            def hb(k, pos):
-                pos, sym = dec1(pos)
-                lit_write(dst + k, sym)
-                return pos
+        st = jax.lax.fori_loop(
+            0, per_w, body,
+            (meta_ref[0, 0, 4], meta_ref[0, 0, 5], meta_ref[0, 0, 6],
+             meta_ref[0, 0, 7]))
+        ok = jnp.where((st[0] >= 0) & (st[1] >= 0) &
+                       (st[2] >= 0) & (st[3] >= 0), 1, 0)
 
-            pos = jax.lax.fori_loop(0, head, hb, sbits)
+        # compact: shift streams 1..3 from word-aligned temp starts
+        # (byte 4*s*per_w) down to the packed layout (byte s*per)
+        @pl.when((per & 3) != 0)
+        def _():
+            for s in (1, 2, 3):
+                dstb = s * per
+                srcb = 4 * s * per_w
+                n = per if s < 3 else n3
+                # head: bytes until dst is word-aligned (reads stay >= 1
+                # byte ahead of writes; byte-forward copy is safe)
+                head = jnp.minimum(n, (-dstb) & 3)
 
-            # quads: 4 symbols -> one aligned word store
-            nq = (n_out - head) >> 2
-            w0 = (dst + head) >> 2
+                def hb(k, _):
+                    lit_write(dstb + k, lit_byte(srcb + k))
+                    return 0
 
-            def qb(k, pos):
-                pos, s0 = dec1(pos)
-                pos, s1 = dec1(pos)
-                pos, s2 = dec1(pos)
-                pos, s3 = dec1(pos)
-                lit_store(w0 + k, s0 | (s1 << 8) | (s2 << 16) | (s3 << 24))
-                return pos
+                jax.lax.fori_loop(0, head, hb, 0)
+                nw = (n - head) >> 2
+                dw0 = (dstb + head) >> 2
 
-            pos = jax.lax.fori_loop(0, nq, qb, pos)
-            done = head + 4 * nq
+                def wb(w, cur):
+                    nxt = lit_w32(srcb + head + 4 * (w + 1))
+                    lit_store(dw0 + w, cur.astype(jnp.int32))
+                    return nxt
 
-            def tb(k, pos):
-                pos, sym = dec1(pos)
-                lit_write(dst + done + k, sym)
-                return pos
+                cur0 = lit_w32(srcb + head)
+                jax.lax.fori_loop(0, nw, wb, cur0)
+                done = head + 4 * nw
 
-            pos = jax.lax.fori_loop(0, n_out - done, tb, pos)
-            return ok & jnp.where(pos >= 0, 1, 0)
+                def tb(k, _):
+                    lit_write(dstb + done + k, lit_byte(srcb + done + k))
+                    return 0
 
-        ok = jax.lax.fori_loop(0, 4, do_stream, jnp.int32(1))
+                jax.lax.fori_loop(0, n - done, tb, 0)
 
         @pl.when(ok == 0)
         def _():

@@ -198,6 +198,8 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
                          gated_policy: str = "halve",
                          strict_h16_x6: int = 480,
                          variant: str = "quad",
+                         lazy: int = 0, accel_log: int = 6,
+                         dual: bool = False,
                          debug_counters: bool = False):
     # win_ref: ONE 2-block SMEM stream per grid step (prev block || cur
     # block, pre-concatenated on device).  Two separate SMEM input streams
@@ -284,6 +286,15 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
     # byte matches never reach the extend/backward/gate work at all.
 
     def make_arm(strict: bool):
+        # dual (zstd dfast analog, levels >= 9): the table splits into a
+        # 2^(hl-1)-entry short-hash (5 B) half and a 2^(hl-2)-entry
+        # long-hash (8 B) quarter; every position probes and seeds both,
+        # preferring the long candidate.  Only the high-entropy arm —
+        # the strict arm's single 8-byte hash already skips short matches.
+        dual_arm = dual and not strict
+        SL = hash_log - 1
+        LOFF = 1 << SL
+
         def U(v):
             return v.astype(jnp.uint32)
 
@@ -293,55 +304,117 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
                 return (U(w) ^ (U(ext) * GOLD)) * PRIME
             return (U(w) ^ (U(ext) << 13)) * PRIME
 
+        def sig_long(w, ext4):
+            return (U(w) ^ (U(ext4) * GOLD)) * PRIME
+
         def h_tagb(u):
             h = (u >> shift).astype(jnp.int32)
             tagb = ((u << TAGB_SH).astype(jnp.int32)) & TAG_MASK
             return h, tagb
 
-        def probe_sig(ip):
-            # unclamped loads: probes stay >= 12 bytes from block end
+        def h_tagb_sub(u, tlog, off):
+            h = (u >> np.uint32(32 - tlog)).astype(jnp.int32) + off
+            tagb = ((u << (tlog - 1)).astype(jnp.int32)) & TAG_MASK
+            return h, tagb
+
+        def _load3(ip, clamped):
             q = ip >> 2
             sh = ((ip & 3) * 8).astype(jnp.uint32)
-            lo = U(win_ref[0, 0, q])
-            hi = U(win_ref[0, 0, q + 1])
+            if clamped:
+                lo = U(win_ref[0, 0, q])
+                hi = U(win_ref[0, 0, jnp.minimum(q + 1, WW - 1)])
+                w3 = U(win_ref[0, 0, jnp.minimum(q + 2, WW - 1)])
+            else:
+                lo = U(win_ref[0, 0, q])
+                hi = U(win_ref[0, 0, q + 1])
+                w3 = U(win_ref[0, 0, q + 2]) if (strict or dual_arm) \
+                    else jnp.uint32(0)
             nz = jnp.uint32(32) - sh
             w = ((lo >> sh) | jnp.where(
                 sh == 0, jnp.uint32(0), hi << nz)).astype(jnp.int32)
+            ext4 = ((hi >> sh) | jnp.where(
+                sh == 0, jnp.uint32(0), w3 << nz)).astype(jnp.int32)
+            return w, ext4
+
+        def probe_sig(ip):
+            # unclamped loads: probes stay >= 12 bytes from block end
+            w, ext4 = _load3(ip, False)
             if strict:
-                ext = ((hi >> sh) | jnp.where(
-                    sh == 0, jnp.uint32(0),
-                    U(win_ref[0, 0, q + 2]) << nz)).astype(jnp.int32)
-            else:
-                ext = ((hi >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
-            return h_tagb(sig_u(w, ext))
+                return h_tagb(sig_u(w, ext4))
+            if dual_arm:
+                return h_tagb_sub(sig_u(w, ext4 & 0xFF), SL, 0)
+            return h_tagb(sig_u(w, ext4 & 0xFF))
+
+        def probe_sig_long(ip):
+            w, ext4 = _load3(ip, False)
+            return h_tagb_sub(sig_long(w, ext4), SL - 1, LOFF)
+
+        def probe_both(ip):
+            w, ext4 = _load3(ip, False)
+            h_s, tb_s = h_tagb_sub(sig_u(w, ext4 & 0xFF), SL, 0)
+            h_l, tb_l = h_tagb_sub(sig_long(w, ext4), SL - 1, LOFF)
+            return h_s, tb_s, h_l, tb_l
 
         def insert_at(p):
             # clamped variant for in-match inserts (may sit near the end)
-            q = p >> 2
-            sh = ((p & 3) * 8).astype(jnp.uint32)
-            lo = U(win_ref[0, 0, q])
-            hi = U(win_ref[0, 0, jnp.minimum(q + 1, WW - 1)])
-            nz = jnp.uint32(32) - sh
-            w = ((lo >> sh) | jnp.where(
-                sh == 0, jnp.uint32(0), hi << nz)).astype(jnp.int32)
+            w, ext4 = _load3(p, True)
             if strict:
-                w3 = U(win_ref[0, 0, jnp.minimum(q + 2, WW - 1)])
-                ext = ((hi >> sh) | jnp.where(
-                    sh == 0, jnp.uint32(0), w3 << nz)).astype(jnp.int32)
+                h, tagb = h_tagb(sig_u(w, ext4))
+            elif dual_arm:
+                h_l, tb_l = h_tagb_sub(sig_long(w, ext4), SL - 1, LOFF)
+                table_ref[h_l] = (base + p) | tb_l
+                h, tagb = h_tagb_sub(sig_u(w, ext4 & 0xFF), SL, 0)
             else:
-                ext = ((hi >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
-            h, tagb = h_tagb(sig_u(w, ext))
+                h, tagb = h_tagb(sig_u(w, ext4 & 0xFF))
             table_ref[h] = (base + p) | tagb
 
         def do_match_full(ip, anchor, cnt, miss, cand_abs, conf):
             """Shared match arm (single-step hit and quad-loop hit):
-            extend, reseed the table across the span, backward-extend,
-            gate, emit.  Caller guarantees cnt < cap and has confirmed
-            the candidate's bytes into `conf`."""
+            extend, [lazy: try ip+1(/+2) for a longer match], reseed the
+            table across the span, backward-extend, gate, emit.  Caller
+            guarantees cnt < cap and has confirmed the candidate's bytes
+            into `conf`."""
+            l = extend(ip, cand_abs - base)
+
+            # lazy matching (the zstd greedy->lazy ladder step,
+            # /root/reference/src/compress.c:73-90 level semantics): probe
+            # the next position(s); a strictly longer confirmed match
+            # there wins and the skipped byte joins the literal run
+            for _lz in range(lazy):
+                def try_next(args):
+                    ip, cand_abs, l, conf = args
+                    h2, tagb2 = (probe_sig_long(ip + 1) if dual_arm
+                                 else probe_sig(ip + 1))
+                    e2 = table_ref[h2]
+                    pos2 = base + ip + 1
+                    wlo2 = jnp.maximum(min_abs, pos2 - max_offset)
+                    good2 = (e2 >= tagb2 + wlo2) & (e2 < tagb2 + pos2)
+                    table_ref[h2] = pos2 | tagb2
+                    c2_abs = e2 & 0xFFFFFF
+                    c2 = c2_abs - base
+
+                    def probe2(_):
+                        conf2 = w32(c2) == w32_c(ip + 1)
+                        l2 = jax.lax.cond(
+                            conf2, lambda _: extend(ip + 1, c2),
+                            lambda _: jnp.int32(0), None)
+                        better = conf2 & (l2 > l)
+                        return (jnp.where(better, ip + 1, ip),
+                                jnp.where(better, c2_abs, cand_abs),
+                                jnp.where(better, l2, l),
+                                conf | better)
+
+                    return jax.lax.cond(
+                        good2, probe2,
+                        lambda _: (ip, cand_abs, l, conf), None)
+
+                ip, cand_abs, l, conf = jax.lax.cond(
+                    conf & (ip + 1 < limit), try_next,
+                    lambda a: a, (ip, cand_abs, l, conf))
+
             pos = base + ip
             dist = pos - cand_abs
             cand = cand_abs - base  # window position
-            l = extend(ip, cand)
 
             # keep the table alive across the matched span: without these
             # the next block has nothing in-window to match after a long
@@ -381,7 +454,7 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
             ll_ref[0, 0, cnt] = ips - anchor
             ml_ref[0, 0, cnt] = lf
             off_ref[0, 0, cnt] = dist + 3
-            ipn = jnp.where(conf, ip + l, ip + 1 + (miss >> 6))
+            ipn = jnp.where(conf, ip + l, ip + 1 + (miss >> accel_log))
             # a KEPT match resets the miss accelerator; a CONFIRMED but
             # gated-out match halves it instead of incrementing — the
             # stride must not compound through a run of unprofitable
@@ -449,20 +522,31 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
             ip, anchor, cnt, miss = state
             if debug_counters:
                 n_ref[0, 0, 3] = n_ref[0, 0, 3] + 1
-            h, tagb = probe_sig(ip)
-            entry = table_ref[h]
             pos = base + ip
             wlo = jnp.maximum(min_abs, pos - max_offset)
-            good = (entry >= tagb + wlo) & (entry < tagb + pos) & \
-                (cnt < cap)
-            table_ref[h] = pos | tagb
+            if dual_arm:
+                h_s, tb_s, h_l, tb_l = probe_both(ip)
+                e_s = table_ref[h_s]
+                e_l = table_ref[h_l]
+                good_l = (e_l >= tb_l + wlo) & (e_l < tb_l + pos)
+                good_s = (e_s >= tb_s + wlo) & (e_s < tb_s + pos)
+                good = (good_l | good_s) & (cnt < cap)
+                table_ref[h_s] = pos | tb_s
+                table_ref[h_l] = pos | tb_l
+                entry = jnp.where(good_l, e_l, e_s)
+            else:
+                h, tagb = probe_sig(ip)
+                entry = table_ref[h]
+                good = (entry >= tagb + wlo) & (entry < tagb + pos) & \
+                    (cnt < cap)
+                table_ref[h] = pos | tagb
 
             def hit(_):
                 return do_match_at(ip, anchor, cnt, miss,
                                    entry & 0xFFFFFF)
 
             def do_miss(_):
-                return ip + 1 + (miss >> 6), anchor, cnt, miss + 1
+                return ip + 1 + (miss >> accel_log), anchor, cnt, miss + 1
 
             return jax.lax.cond(good, hit, do_miss, None)
 
@@ -522,8 +606,8 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
                 es.append(entry)
             if debug_counters:
                 n_ref[0, 0, 2] = n_ref[0, 0, 2] + 1
-            return (q + 1 + (miss >> 8), fnd, es[0], es[1], es[2], es[3],
-                    miss + 4, q)
+            return (q + 1 + (miss >> (accel_log + 2)), fnd, es[0], es[1],
+                    es[2], es[3], miss + 4, q)
 
         def outer(state):
             # realign: single-step while ip is not word-aligned
@@ -565,7 +649,9 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
 
     def run(strict: bool):
         body1, dm = make_arm(strict)
-        if variant == "quad":
+        # the quad loop probes the single-table domain; the dual arm
+        # single-steps (high levels trade probe throughput for search)
+        if variant == "quad" and not (dual and not strict):
             return make_quad(strict, body1, dm)
         return run_single(body1)
 
@@ -596,8 +682,8 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
 
 @partial(jax.jit, static_argnames=("cap", "max_offset", "hash_log",
                                    "gate_bits", "min_match", "gated_policy",
-                                   "strict_h16_x6", "debug_counters",
-                                   "interpret"))
+                                   "strict_h16_x6", "lazy", "accel_log",
+                                   "dual", "debug_counters", "interpret"))
 def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
                            min_abs: jnp.ndarray, h16: jnp.ndarray,
                            cap: int = 8192,
@@ -606,6 +692,8 @@ def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
                            gate_bits: int = 14, min_match: int = 5,
                            gated_policy: str = "halve",
                            strict_h16_x6: int = 480,
+                           lazy: int = 0, accel_log: int = 6,
+                           dual: bool = False,
                            debug_counters: bool = False,
                            interpret: bool = False):
     """Linked-block gated zstd parse.
@@ -629,6 +717,7 @@ def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
                      hash_log=hash_log, block_bytes=N,
                      gate_bits=gate_bits, min_match=min_match,
                      gated_policy=gated_policy, strict_h16_x6=strict_h16_x6,
+                     lazy=lazy, accel_log=accel_log, dual=dual,
                      debug_counters=debug_counters)
 
     def smem(shape, shift=0):

@@ -67,30 +67,75 @@ _HUF_PEEK = 12  # libzstd's HUF_TABLELOG_MAX: accept foreign 12-bit tables
 
 
 class _HufReg:
-    """Deduplicated Huffman decode tables, padded to 2^12 entries so the
-    kernel always peeks 12 bits (entries replicated 2^(12-tableLog) times)."""
+    """Deduplicated Huffman decode tables.  Stores only the (256,) weight
+    vectors; full 2^12-entry peek tables are built lazily — on HOST for
+    the XLA lane paths (packed()), or on DEVICE from the 256-byte weights
+    (_build_dtabs) for the fused kernel paths, which cuts the per-block
+    upload from 16 KiB to 0.25 KiB."""
 
     def __init__(self):
         self.ids: dict[bytes, int] = {}
-        self.tables: list[np.ndarray] = []
+        self.weights: list[np.ndarray] = []
+        self.tls: list[int] = []
 
     def add(self, weights: np.ndarray) -> int:
         key = weights.tobytes()
         if key not in self.ids:
-            ct = huffman.ctable_from_weights(weights)
-            if ct.max_bits > _HUF_PEEK:
+            w = np.zeros(256, np.int32)
+            w[: len(weights)] = weights
+            total = int(np.sum(np.where(w > 0, 1 << (w - 1), 0)))
+            if total <= 0 or total & (total - 1):
+                raise FormatError("huffman weight sum is not a power of two")
+            tl = total.bit_length() - 1
+            if tl > _HUF_PEEK:
                 raise FormatError(
-                    f"huffman code length {ct.max_bits} exceeds {_HUF_PEEK}")
-            dt = huffman.build_dtable(ct)
-            dt12 = np.repeat(dt, 1 << (_HUF_PEEK - ct.max_bits))
-            self.ids[key] = len(self.tables)
-            self.tables.append(dt12.astype(np.int32))
+                    f"huffman code length {tl} exceeds {_HUF_PEEK}")
+            self.ids[key] = len(self.weights)
+            self.weights.append(w)
+            self.tls.append(tl)
         return self.ids[key]
 
     def packed(self) -> np.ndarray:
-        if not self.tables:
+        if not self.weights:
             return np.zeros((1, 1 << _HUF_PEEK), np.int32)
-        return np.stack(self.tables)
+        tabs = []
+        for w in self.weights:
+            ct = huffman.ctable_from_weights(w)
+            dt = huffman.build_dtable(ct)
+            tabs.append(np.repeat(dt, 1 << (_HUF_PEEK - ct.max_bits))
+                        .astype(np.int32))
+        return np.stack(tabs)
+
+    def weights_arr(self):
+        """(T, 256) int32 weights + (T,) int32 table logs for the device
+        table build."""
+        if not self.weights:
+            return np.zeros((1, 256), np.int32), np.ones(1, np.int32)
+        return np.stack(self.weights), np.array(self.tls, np.int32)
+
+
+@jax.jit
+def _build_dtabs(weights: jnp.ndarray, tls: jnp.ndarray) -> jnp.ndarray:
+    """Device-side Huffman peek-table build: (T, 256) zstd weights ->
+    (T, 2^12) int32 entries (nb << 8 | sym).  Canonical (valPerRank)
+    assignment means table entries are contiguous runs when symbols are
+    enumerated longest-code-first (symbol order within a length), so the
+    table is an argsort + cumsum + searchsorted — no scalar loops."""
+    sym_ids = jnp.arange(256, dtype=jnp.int32)[None, :]
+    l = jnp.where(weights > 0, tls[:, None] + 1 - weights, 0)
+    size = jnp.where(l > 0, jnp.int32(1) << (_HUF_PEEK - l), 0)
+    key = jnp.where(l > 0, (_HUF_PEEK - l) * 256 + sym_ids,
+                    jnp.int32(1) << 24)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    sz_s = jnp.take_along_axis(size, order, axis=1)
+    l_s = jnp.take_along_axis(l, order, axis=1)
+    bounds = jnp.cumsum(sz_s, axis=1)
+    q = jnp.arange(1 << _HUF_PEEK, dtype=jnp.int32)
+    idx = jax.vmap(lambda bo: jnp.searchsorted(bo, q, side="right"))(bounds)
+    idx = jnp.clip(idx, 0, 255).astype(jnp.int32)
+    sym = jnp.take_along_axis(order, idx, axis=1)
+    nb = jnp.take_along_axis(l_s, idx, axis=1)
+    return (nb << 8) | sym
 
 
 class _FseReg:
@@ -761,9 +806,8 @@ def _try_decode_smem(plans, hufreg: _HufReg, fsereg: _FseReg,
     lp_list: list[bytes] = []
     sq_list: list[bytes] = []
     meta = np.zeros((B, pd.META_W), np.int32)
-    huf_packed = hufreg.packed()
     fse_packed = fsereg.packed()
-    dtabs = np.zeros((B, 1 << _HUF_PEEK), np.int32)
+    wtid = np.zeros(B, np.int32)
     ftabs = np.zeros((B, 1536), np.int32)
     for i, (bp, content, d_off, fstart) in enumerate(rows):
         mode = pd.DMODE_FRAME_START if fstart else 0
@@ -790,7 +834,7 @@ def _try_decode_smem(plans, hufreg: _HufReg, fsereg: _FseReg,
                 parts.append(l.stream)
                 off += len(l.stream)
             payload = b"".join(parts)
-            dtabs[i] = huf_packed[lanes[0].tid]
+            wtid[i] = lanes[0].tid
         elif bp.lit_direct is not None:
             mode |= pd.DMODE_DIRECT
             payload = bp.lit_direct
@@ -830,8 +874,11 @@ def _try_decode_smem(plans, hufreg: _HufReg, fsereg: _FseReg,
     import time as _t2
     _prof2 = _os2.environ.get("ZN_PROFILE")
     _tm = [_t2.time()]
+    W, TLS = hufreg.weights_arr()
+    dtabs_dev = jnp.take(_build_dtabs(jnp.asarray(W), jnp.asarray(TLS)),
+                         jnp.asarray(wtid), axis=0)
     outw, stat = pd.decode_blocks_smem(
-        jnp.asarray(lp_w), jnp.asarray(sq_w), jnp.asarray(dtabs),
+        jnp.asarray(lp_w), jnp.asarray(sq_w), dtabs_dev,
         jnp.asarray(ftabs), jnp.asarray(meta), interpret=interpret)
     try:
         outw.copy_to_host_async()
@@ -899,7 +946,7 @@ def _size_bucket(n: int) -> int:
 
 
 def _try_decode_transcode(plans, hufreg: _HufReg, fsereg: _FseReg,
-                          interpret: bool):
+                          hints, interpret: bool):
     """Fused decode with HOST-side sequence execution: the kernel runs
     Huffman + FSE only and emits (literal bytes, packed 2-word sequence
     tokens); the native executor (native/zn.cc zn_zir_execute) expands
@@ -909,19 +956,30 @@ def _try_decode_transcode(plans, hufreg: _HufReg, fsereg: _FseReg,
     output fetch is downlink-bound.  Raw/RLE-literal blocks never visit
     the device at all (the host already holds their bytes).
 
+    Large batches split into chunks of <= ZN_DECODE_CHUNK blocks, all
+    dispatched back-to-back before the first fetch, so chunk k+1's upload
+    and kernel overlap chunk k's device->host fetches.  Mid-frame splits
+    reset the repcode state, which is only valid for our encoder's
+    blocks (block-local rep chains, the invariant the anchored decode
+    path already relies on) — so they are gated on the frame having
+    usable hints; foreign frames split at frame boundaries only.
+
     Returns per-frame bytes, or None when ineligible (kernel limits, no
     native library, prediction mismatch) — caller falls back."""
+    import os as _os4
     from libzseek_tpu import native
     if not native.have_native():
         return None
     from libzseek_tpu.ops import pallas_decode as pd
 
-    rows = []    # (bp, content, d_off, mode, dev_lit, regen, lit_words)
+    rows = []    # (bp, content, d_off, mode, dev_lit, regen, lit_words,
+                 #   splittable)
     frames = []  # per frame: ('host', d_off, content, bytes) |
                  #            ('row', row_idx, d_off, content, bp, ...)
-    for p in plans:
+    for p, fh in zip(plans, hints):
         d_off = 0
         fstart = True
+        rep_safe = _frame_hints_usable(p, fh)
         fr = []
         for bp in p.blocks:
             if bp.lit_direct is not None and bp.n_seq == 0:
@@ -948,10 +1006,11 @@ def _try_decode_transcode(plans, hufreg: _HufReg, fsereg: _FseReg,
             mode = pd.DMODE_TRANSCODE
             if fstart:
                 mode |= pd.DMODE_FRAME_START
-            fstart = False
             fr.append(("row", len(rows), d_off, content, bp, dev_lit,
                        regen))
-            rows.append((bp, content, d_off, mode, dev_lit, regen, lw))
+            rows.append((bp, content, d_off, mode, dev_lit, regen, lw,
+                         fstart or rep_safe))
+            fstart = False
             d_off += content
         if d_off != p.content_size:
             return None
@@ -960,109 +1019,126 @@ def _try_decode_transcode(plans, hufreg: _HufReg, fsereg: _FseReg,
     if not rows:  # every block host-resident
         return [b"".join(bytes(e[3]) for e in fr) for fr in frames]
 
-    B = len(rows)
-    lp_list: list[bytes] = []
-    sq_list: list[bytes] = []
-    meta = np.zeros((B, pd.META_W), np.int32)
-    huf_packed = hufreg.packed()
+    # --- chunk and dispatch (all async before the first fetch) ---
+    CHUNK = int(_os4.environ.get("ZN_DECODE_CHUNK", "32"))
     fse_packed = fsereg.packed()
-    dtabs = np.zeros((B, 1 << _HUF_PEEK), np.int32)
-    ftabs = np.zeros((B, 1536), np.int32)
-    for i, (bp, content, d_off, mode, dev_lit, regen, lw) in \
-            enumerate(rows):
-        payload = b""
-        if dev_lit:
-            lanes = bp.huf_lanes
-            if len(lanes) == 1:
-                mode |= pd.DMODE_HUF1
+    W, TLS = hufreg.weights_arr()
+    W_dev = jnp.asarray(W)
+    TLS_dev = jnp.asarray(TLS)
+
+    chunk_bounds = [0]
+    for i in range(1, len(rows)):
+        if i - chunk_bounds[-1] >= CHUNK and rows[i][7]:
+            chunk_bounds.append(i)
+    chunk_bounds.append(len(rows))
+
+    handles = []   # (lo, meta, lit_prefix, tok_prefix, litw_dev arrays...)
+    for ci in range(len(chunk_bounds) - 1):
+        lo, hi = chunk_bounds[ci], chunk_bounds[ci + 1]
+        crows = rows[lo:hi]
+        B = len(crows)
+        lp_list = []
+        sq_list = []
+        meta = np.zeros((B, pd.META_W), np.int32)
+        wtid = np.zeros(B, np.int32)
+        ftabs = np.zeros((B, 1536), np.int32)
+        for i, (bp, content, d_off, mode, dev_lit, regen, lw, _sp) in \
+                enumerate(crows):
+            if i == 0:
+                mode |= pd.DMODE_FRAME_START   # reset rep state per chunk
+            payload = b""
+            if dev_lit:
+                lanes = bp.huf_lanes
+                if len(lanes) == 1:
+                    mode |= pd.DMODE_HUF1
+                else:
+                    mode |= pd.DMODE_HUF4
+                    per = (regen + 3) // 4
+                    if [l.n_out for l in lanes] != [per, per, per,
+                                                    regen - 3 * per]:
+                        return None
+                parts, off = [], 0
+                for s, l in enumerate(lanes):
+                    meta[i, 4 + s] = _sentinel_bits(l.stream)
+                    meta[i, 8 + s] = off
+                    parts.append(l.stream)
+                    off += len(l.stream)
+                payload = b"".join(parts)
+                wtid[i] = lanes[0].tid
             else:
-                mode |= pd.DMODE_HUF4
-                per = (regen + 3) // 4
-                if [l.n_out for l in lanes] != [per, per, per,
-                                                regen - 3 * per]:
-                    return None
-            parts, off = [], 0
-            for s, l in enumerate(lanes):
-                meta[i, 4 + s] = _sentinel_bits(l.stream)
-                meta[i, 8 + s] = off
-                parts.append(l.stream)
-                off += len(l.stream)
-            payload = b"".join(parts)
-            dtabs[i] = huf_packed[lanes[0].tid]
-        else:
-            mode |= pd.DMODE_DIRECT | pd.DMODE_LIT_HOST
-        if bp.n_seq > 0:
-            mode |= pd.DMODE_SEQ
-            sq_list.append(bp.seq_stream)
-            meta[i, 12] = _sentinel_bits(bp.seq_stream)
-            meta[i, 13] = bp.n_seq
-            meta[i, 14] = (bp.ll_tl | (bp.of_tl << 8) | (bp.ml_tl << 16))
-            ftabs[i, 0:512] = fse_packed[bp.ll_tid]
-            ftabs[i, 512:1024] = fse_packed[bp.of_tid]
-            ftabs[i, 1024:1536] = fse_packed[bp.ml_tid]
-        else:
-            sq_list.append(b"")
-        lp_list.append(payload)
-        meta[i, 0] = mode
-        meta[i, 1] = content
-        meta[i, 2] = d_off
-        meta[i, 3] = regen
+                mode |= pd.DMODE_DIRECT | pd.DMODE_LIT_HOST
+            if bp.n_seq > 0:
+                mode |= pd.DMODE_SEQ
+                sq_list.append(bp.seq_stream)
+                meta[i, 12] = _sentinel_bits(bp.seq_stream)
+                meta[i, 13] = bp.n_seq
+                meta[i, 14] = (bp.ll_tl | (bp.of_tl << 8) |
+                               (bp.ml_tl << 16))
+                ftabs[i, 0:512] = fse_packed[bp.ll_tid]
+                ftabs[i, 512:1024] = fse_packed[bp.of_tid]
+                ftabs[i, 1024:1536] = fse_packed[bp.ml_tid]
+            else:
+                sq_list.append(b"")
+            lp_list.append(payload)
+            meta[i, 0] = mode
+            meta[i, 1] = content
+            meta[i, 2] = d_off
+            meta[i, 3] = regen
 
-    LPW = max(4, _ceil_pow2(-(-max(len(b) for b in lp_list) // 4)))
-    SQW = max(4, _ceil_pow2(-(-max(len(b) for b in sq_list) // 4)))
-    if LPW > pd.MAX_LP_WORDS or SQW > pd.MAX_SQ_WORDS:
-        return None
-    lp = np.zeros((B, 4 * LPW), np.uint8)
-    sq = np.zeros((B, 4 * SQW), np.uint8)
-    for i in range(B):
-        lp[i, : len(lp_list[i])] = np.frombuffer(lp_list[i], np.uint8)
-        sq[i, : len(sq_list[i])] = np.frombuffer(sq_list[i], np.uint8)
-    lp_w = lp.reshape(B, LPW, 4).view(np.int32)[:, :, 0]
-    sq_w = sq.reshape(B, SQW, 4).view(np.int32)[:, :, 0]
+        LPW = max(4, _ceil_pow2(-(-max(len(b) for b in lp_list) // 4)))
+        SQW = max(4, _ceil_pow2(-(-max(len(b) for b in sq_list) // 4)))
+        if LPW > pd.MAX_LP_WORDS or SQW > pd.MAX_SQ_WORDS:
+            return None
+        lp = np.zeros((B, 4 * LPW), np.uint8)
+        sq = np.zeros((B, 4 * SQW), np.uint8)
+        for i in range(B):
+            lp[i, : len(lp_list[i])] = np.frombuffer(lp_list[i], np.uint8)
+            sq[i, : len(sq_list[i])] = np.frombuffer(sq_list[i], np.uint8)
+        lp_w = lp.reshape(B, LPW, 4).view(np.int32)[:, :, 0]
+        sq_w = sq.reshape(B, SQW, 4).view(np.int32)[:, :, 0]
 
-    litw = np.array([r[6] for r in rows], np.int32)
-    tokw = np.array([2 * r[0].n_seq for r in rows], np.int32)
-    lit_prefix = np.zeros(B + 1, np.int32)
-    lit_prefix[1:] = np.cumsum(litw)
-    tok_prefix = np.zeros(B + 1, np.int32)
-    tok_prefix[1:] = np.cumsum(tokw)
-    Dl = _size_bucket(int(lit_prefix[-1]))
-    Dt = _size_bucket(int(tok_prefix[-1]))
+        litw = np.array([r[6] if r[4] else 0 for r in crows], np.int32)
+        tokw = np.array([2 * r[0].n_seq for r in crows], np.int32)
+        lit_prefix = np.zeros(B + 1, np.int32)
+        lit_prefix[1:] = np.cumsum(litw)
+        tok_prefix = np.zeros(B + 1, np.int32)
+        tok_prefix[1:] = np.cumsum(tokw)
+        Dl = _size_bucket(int(lit_prefix[-1]))
+        Dt = _size_bucket(int(tok_prefix[-1]))
 
-    import os as _os3
-    import sys as _sys3
-    import time as _t3
-    _prof3 = _os3.environ.get("ZN_PROFILE")
-    _tm = [_t3.time()]
-    outw, stat = pd.decode_blocks_smem(
-        jnp.asarray(lp_w), jnp.asarray(sq_w), jnp.asarray(dtabs),
-        jnp.asarray(ftabs), jnp.asarray(meta), interpret=interpret)
-    lit_dense = _gather_rows(outw, jnp.zeros(B, jnp.int32),
-                             jnp.asarray(lit_prefix), Dl)
-    tok_dense = _gather_rows(outw, jnp.asarray(litw),
-                             jnp.asarray(tok_prefix), Dt)
-    for a in (lit_dense, tok_dense):
-        try:
-            a.copy_to_host_async()
-        except Exception:
-            pass
-    _tm.append(_t3.time())
-    stat_np = np.asarray(stat)
-    _tm.append(_t3.time())
-    if not (stat_np[:, 1] == 1).all() or \
-            not (stat_np[:, 0] == meta[:, 1]).all():
-        return None
-    lit_bytes = np.asarray(lit_dense).view(np.uint8)
-    tok_np = np.asarray(tok_dense).view(np.uint32)
-    _tm.append(_t3.time())
-    if _prof3:
-        print(f'[ZN_PROFILE transcode] dispatch {_tm[1]-_tm[0]:.3f}s | '
-              f'kernel+stat {_tm[2]-_tm[1]:.3f}s | '
-              f'fetch {_tm[3]-_tm[2]:.3f}s '
-              f'(lit {4*int(lit_prefix[-1])>>10}K '
-              f'tok {4*int(tok_prefix[-1])>>10}K up {sum(len(b) for b in lp_list)+sum(len(b) for b in sq_list)>>10}K)',
-              file=_sys3.stderr)
+        dtabs_dev = jnp.take(_build_dtabs(W_dev, TLS_dev),
+                             jnp.asarray(wtid), axis=0)
+        outw, stat = pd.decode_blocks_smem(
+            jnp.asarray(lp_w), jnp.asarray(sq_w), dtabs_dev,
+            jnp.asarray(ftabs), jnp.asarray(meta), interpret=interpret)
+        lit_dense = _gather_rows(outw, jnp.zeros(B, jnp.int32),
+                                 jnp.asarray(lit_prefix), Dl)
+        tok_dense = _gather_rows(outw, jnp.asarray(litw),
+                                 jnp.asarray(tok_prefix), Dt)
+        for a in (lit_dense, tok_dense, stat):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        handles.append((lo, meta, lit_prefix, tok_prefix, lit_dense,
+                        tok_dense, stat))
 
+    # --- fetch + validate (in dispatch order) ---
+    lit_of_row: dict[int, tuple] = {}   # row -> (lit_bytes, byte_off)
+    tok_of_row: dict[int, tuple] = {}
+    for (lo, meta, lit_prefix, tok_prefix, lit_dense, tok_dense,
+         stat) in handles:
+        stat_np = np.asarray(stat)
+        if not (stat_np[:, 1] == 1).all() or \
+                not (stat_np[:, 0] == meta[:, 1]).all():
+            return None
+        lit_bytes = np.asarray(lit_dense).view(np.uint8)
+        tok_np = np.asarray(tok_dense).view(np.uint32)
+        for i in range(meta.shape[0]):
+            lit_of_row[lo + i] = (lit_bytes, 4 * int(lit_prefix[i]))
+            tok_of_row[lo + i] = (tok_np, int(tok_prefix[i]))
+
+    # --- host execution ---
     results: list[bytes] = []
     for p, fr in zip(plans, frames):
         out = np.empty(p.content_size, np.uint8)
@@ -1072,11 +1148,12 @@ def _try_decode_transcode(plans, hufreg: _HufReg, fsereg: _FseReg,
                 out[d0: d0 + content] = np.frombuffer(lit, np.uint8)
                 continue
             _, ri, d0, content, bp, dev_lit, regen = e
-            toks = (tok_np[tok_prefix[ri]: tok_prefix[ri] + 2 * bp.n_seq]
+            tarr, toff = tok_of_row[ri]
+            toks = (tarr[toff: toff + 2 * bp.n_seq]
                     if bp.n_seq > 0 else np.zeros(0, np.uint32))
             if dev_lit:
-                lits = lit_bytes[4 * lit_prefix[ri]:
-                                 4 * lit_prefix[ri] + regen]
+                larr, loff = lit_of_row[ri]
+                lits = larr[loff: loff + regen]
             else:
                 lits = np.frombuffer(bp.lit_direct or b"", np.uint8)
             ret = native.zir_execute(lits, regen, toks, bp.n_seq, out, d0)
@@ -1183,7 +1260,7 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
             if not to_device and \
                     _os.environ.get("ZN_DECODE_TRANSCODE", "auto") != "off":
                 res = _try_decode_transcode(plans, hufreg, fsereg,
-                                            interpret=not on_tpu)
+                                            hints, interpret=not on_tpu)
                 _mark('transcode')
             if res is None:
                 res = _try_decode_smem(plans, hufreg, fsereg, to_device,

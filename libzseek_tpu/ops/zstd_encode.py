@@ -608,8 +608,28 @@ def _linked_post(x, lengths, ll, ml, offv, n_seq, cover, cap: int):
                 const=_const_byte(x, lengths, in_range))
 
 
+def level_search_params(level: int) -> dict:
+    """zstd compression_level -> linked-parse search effort, the analog of
+    libzstd's level-indexed cParams table that the reference exposes
+    through zseek_zstd_param_t (/root/reference/src/zseek.h:129-140,
+    src/compress.c:73-90).  Higher levels probe lazily (ip+1 / ip+2 before
+    committing a match) and disable the miss accelerator so no candidate
+    position is skipped."""
+    if level <= 1:    # fast: longer min_match, aggressive skip
+        return dict(min_match=6, lazy=0, accel_log=5, dual=False)
+    if level <= 3:    # default (the reference's ZSTD_CLEVEL_DEFAULT arm)
+        return dict(min_match=5, lazy=0, accel_log=6, dual=False)
+    if level <= 8:    # greedy -> lazy
+        return dict(min_match=5, lazy=1, accel_log=8, dual=False)
+    if level <= 15:   # dfast-style dual table + lazy2
+        return dict(min_match=5, lazy=2, accel_log=10, dual=True)
+    # 16+: dual table, lazy2, skip accelerator effectively off
+    return dict(min_match=5, lazy=2, accel_log=14, dual=True)
+
+
 def zstd_sequences_linked(x2: jnp.ndarray, lengths: jnp.ndarray,
-                          min_abs: jnp.ndarray, interpret: bool = False):
+                          min_abs: jnp.ndarray, level: int = 3,
+                          interpret: bool = False):
     """Linked-block gated parse (ops/pallas_match.zstd_parse_linked_smem):
     persistent hash table across the batch, cross-block matches, and the
     profitability gate applied in-kernel.  x2 is the shifted block array
@@ -623,6 +643,7 @@ def zstd_sequences_linked(x2: jnp.ndarray, lengths: jnp.ndarray,
         x2, lengths, min_abs, h16, gate_bits=GATE_FIXED_BITS,
         gated_policy=os.environ.get("ZN_GATED_POLICY", "halve"),
         strict_h16_x6=int(os.environ.get("ZN_STRICT_X6", "480")),
+        **level_search_params(level),
         interpret=interpret)
     return _linked_post(x, lengths, ll, ml, offv, n_seq, cover,
                         cap=ll.shape[1])

@@ -79,9 +79,11 @@ class Reader:
         self._readahead = max(1, readahead)
         self._last_miss = -2
         # async sequential prefetch: while the consumer drains window k,
-        # a background thread decodes window k+1 into the cache (device
-        # decode + the slow device->host transfer overlap delivery)
-        self._ahead: tuple[int, int, object] | None = None
+        # background threads decode windows k+1 and k+2 into the cache
+        # (upload/device work of one window overlaps the device->host
+        # fetch of the other on the duplex link)
+        from collections import deque
+        self._ahead = deque()   # (start, end, future)
         self._pf_pool = None
         # opt-in verification of per-frame seek-table checksums (low 32
         # bits of XXH64 of the decompressed frame) when the table has them
@@ -290,33 +292,46 @@ class Reader:
         consumed, the other half the one being prefetched."""
         return min(self._readahead, max(1, self._cache.capacity // 2))
 
-    def _schedule_ahead(self, start: int, count: int) -> None:
-        if self._cache is None or count <= 0 or \
-                start >= self._table.num_frames:
+    def _depth(self) -> int:
+        """Prefetch windows in flight: 2 when the cache can hold the
+        consuming window plus both (pipelines the duplex link), else 1."""
+        return 2 if self._cache.capacity >= 3 * self._window() else 1
+
+    def _schedule_ahead(self, start: int, count: int, depth: int = 2)\
+            -> None:
+        """Queue up to `depth` prefetch windows of `count` frames starting
+        at `start` (skipping any already queued)."""
+        if self._cache is None or count <= 0:
             return
-        end = min(start + count, self._table.num_frames)
-        idxs = list(range(start, end))
+        if self._ahead:
+            start = max(start, self._ahead[-1][1])
         if self._pf_pool is None:
             from concurrent.futures import ThreadPoolExecutor
             self._pf_pool = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="zseek-prefetch")
+                max_workers=2, thread_name_prefix="zseek-prefetch")
 
-        def work():
-            datas = [self._read_frame_bytes(i) for i in idxs]
-            d_sizes = [self._table.frame_d_size(i) for i in idxs]
-            if self._hints is not None:
-                frames = self._codec.decompress_frames(
-                    datas, d_sizes, [self._frame_hints(i) for i in idxs])
-            else:
-                frames = self._codec.decompress_frames(datas, d_sizes)
-            for i, fr in zip(idxs, frames):
-                self._check_frame(i, fr)
-            with self._lock:
+        while len(self._ahead) < depth and start < self._table.num_frames:
+            end = min(start + count, self._table.num_frames)
+            idxs = list(range(start, end))
+
+            def work(idxs=idxs):
+                datas = [self._read_frame_bytes(i) for i in idxs]
+                d_sizes = [self._table.frame_d_size(i) for i in idxs]
+                if self._hints is not None:
+                    frames = self._codec.decompress_frames(
+                        datas, d_sizes,
+                        [self._frame_hints(i) for i in idxs])
+                else:
+                    frames = self._codec.decompress_frames(datas, d_sizes)
                 for i, fr in zip(idxs, frames):
-                    if self._cache.find(i) is None:
-                        self._cache.insert(i, fr)
+                    self._check_frame(i, fr)
+                with self._lock:
+                    for i, fr in zip(idxs, frames):
+                        if self._cache.find(i) is None:
+                            self._cache.insert(i, fr)
 
-        self._ahead = (start, end, self._pf_pool.submit(work))
+            self._ahead.append((start, end, self._pf_pool.submit(work)))
+            start = end
 
     def _get_frame(self, idx: int) -> bytes:
         if self._cache is not None:
@@ -324,19 +339,19 @@ class Reader:
                 hit = self._cache.find(idx)
             if hit is not None:
                 return hit
-        if self._ahead is not None:
-            s, e, fut = self._ahead
-            if s <= idx < e:
-                # the prefetched window covers this frame: wait for it and
-                # immediately pipeline the next window
-                self._ahead = None
-                fut.result()
-                self._last_miss = e - 1
-                self._schedule_ahead(e, self._window())
-                with self._lock:
-                    hit = self._cache.find(idx)
-                if hit is not None:
-                    return hit
+        while self._ahead and self._ahead[0][1] <= idx:
+            self._ahead.popleft()   # stale window (seek jumped past it)
+        if self._ahead and self._ahead[0][0] <= idx < self._ahead[0][1]:
+            # the prefetched window covers this frame: wait for it and
+            # immediately pipeline the next window(s)
+            s, e, fut = self._ahead.popleft()
+            fut.result()
+            self._last_miss = e - 1
+            self._schedule_ahead(e, self._window(), self._depth())
+            with self._lock:
+                hit = self._cache.find(idx)
+            if hit is not None:
+                return hit
         # batch ahead on a sequential miss streak
         streak = idx == self._last_miss + 1
         self._last_miss = idx
@@ -368,8 +383,9 @@ class Reader:
         # the streak continues at the window's end, and the next window
         # decodes in the background while this one is consumed
         self._last_miss = idxs[-1]
-        if len(idxs) > 1 and self._ahead is None:
-            self._schedule_ahead(idxs[-1] + 1, self._window())
+        if len(idxs) > 1 and not self._ahead:
+            self._schedule_ahead(idxs[-1] + 1, self._window(),
+                                 self._depth())
         return frames[0]
 
     def __enter__(self):

@@ -275,6 +275,7 @@ class ZstdCodec:
             interp = jax.devices()[0].platform == "cpu"
             seqs = zstd_sequences_linked(X2d, jnp.asarray(lens),
                                          jnp.asarray(min_abs),
+                                         level=self.level,
                                          interpret=interp)
             Xd = jax.lax.slice_in_dim(X2d, 1, Bp + 1, axis=0)
             if self.entropy in ("auto", "smem"):

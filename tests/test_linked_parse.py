@@ -112,3 +112,72 @@ def test_short_and_empty_rows(rng):
     ll, ml, off, n_seq, cover = _parse(x2, lens, min_abs)
     assert n_seq[1] == 0 and cover[1] == 0
     assert cover[0] <= 100
+
+
+def test_level_ladder_coverage_and_validity(rng):
+    """Level-indexed search effort (ops/zstd_encode.level_search_params,
+    the analog of /root/reference/src/compress.c:73-90).  Two fenced
+    blocks probe the two level axes: noise with planted 5-byte repeats
+    separates min_match 6 (L1) from 5 (L3+); zipf-word text rewards the
+    lazy/dual probing of L9/L19 with longer matches at the same or lower
+    sequence count.  Sequences must stay valid under lazy probing."""
+    import jax.numpy as jnp
+
+    from libzseek_tpu.ops.zstd_encode import level_search_params
+
+    # block A: noise + planted 5-byte matches at short range (gate passes
+    # ml=5 at H=8; only min_match separates levels here)
+    a = rng.integers(0, 256, N, np.uint8).astype(np.uint8)
+    for k in range(40):
+        p0 = 200 + 400 * k
+        a[p0 + 64: p0 + 69] = a[p0: p0 + 5]
+    # block B: zipf-word text (dense overlapping candidates)
+    vocab = [rng.integers(97, 123, rng.integers(3, 11), np.uint8).tobytes()
+             for _ in range(200)]
+    probs = (1.0 / np.arange(1, 201)) ** 1.1
+    probs /= probs.sum()
+    words = rng.choice(200, 6000, p=probs)
+    b = np.frombuffer(b" ".join(vocab[w] for w in words)[:N],
+                      np.uint8).copy()
+
+    x2 = np.stack([np.zeros(N, np.uint8), a, b])
+    lens = np.array([N, N], np.int32)
+    min_abs = np.array([N, 2 * N], np.int32)  # fenced: no cross-block
+    h16 = np.array([128, 58], np.int32)
+
+    cov = {}
+    est = {}
+    for lvl in (1, 3, 9, 19):
+        prm = level_search_params(lvl)
+        ll, ml, off, n_seq, cover = [np.asarray(v) for v in
+                                     zstd_parse_linked_smem(
+            jnp.asarray(x2), jnp.asarray(lens), jnp.asarray(min_abs),
+            jnp.asarray(h16), interpret=True, **prm)]
+        tot_cov = 0
+        tot_bits = 0.0
+        for i in range(2):
+            window = np.concatenate([x2[i], x2[i + 1]])
+            pos = 0
+            for j in range(n_seq[i]):
+                pst = pos + ll[i, j]
+                dist = off[i, j] - 3
+                l = ml[i, j]
+                assert dist > 0 and l >= prm["min_match"]
+                src = N + pst - dist
+                assert src >= 0
+                assert np.array_equal(window[N + pst: N + pst + l],
+                                      window[src: src + l]), (lvl, i, j)
+                pos = pst + l
+                tot_bits += 14 + np.floor(np.log2(max(1, dist)))
+            ns = int(n_seq[i])
+            c = int(ml[i, :ns].sum())
+            tot_cov += c
+            tot_bits += (N - c) * h16[i] / 16.0
+        cov[lvl] = tot_cov
+        est[lvl] = tot_bits
+    # min_match: L1 must find strictly less than L3+
+    assert cov[1] < cov[3], (cov, est)
+    # lazy/dual: higher levels estimate at or below lower levels, with a
+    # real improvement somewhere in the ladder
+    assert est[3] <= est[1] and est[9] <= est[3] and est[19] <= est[9], est
+    assert est[19] < est[1], est

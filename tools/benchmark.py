@@ -124,7 +124,7 @@ def bench_pread(data: bytes, codec: str, frame_mib: int, terse: bool):
     w.write(data)
     w.close()
     arch = buf.getvalue()
-    r = Reader(arch, cache_frames=8)
+    r = Reader(arch, cache_frames=24)
     total = r.decompressed_size
     rng = np.random.default_rng(3)
 
