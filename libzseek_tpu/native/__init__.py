@@ -43,6 +43,10 @@ def _load():
     lib.zn_seektable_serialize.restype = ctypes.c_int64
     lib.zn_seektable_parse.argtypes = [u8p, ctypes.c_int64, i64p]
     lib.zn_seektable_parse.restype = ctypes.c_int64
+    if hasattr(lib, "zn_ldm_scan"):
+        lib.zn_ldm_scan.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
+                                    i64p, i32p, ctypes.c_int64, i64p]
+        lib.zn_ldm_scan.restype = ctypes.c_int64
     if hasattr(lib, "zn_zir_execute"):
         lib.zn_zir_execute.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -159,3 +163,23 @@ def zir_execute(lits, lit_n: int, toks, n_seq: int,
     return int(lib.zn_zir_execute(
         lp, lit_n, toks.ctypes.data, n_seq,
         out.ctypes.data, out.shape[0], base))
+
+
+def ldm_scan(x: np.ndarray, nblocks: int, bsize: int,
+             frame_base: np.ndarray, lens: np.ndarray,
+             min_dist: int) -> np.ndarray | None:
+    """Whole-block long-distance match scan over a batch (see zn.cc
+    zn_ldm_scan).  x: concatenated block bytes (nblocks*bsize,);
+    frame_base (nblocks,) int64 frame-start byte offsets (-1 = exclude);
+    lens (nblocks,) int32.  Returns per-block verified distances (0 =
+    none), or None without the native library."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "zn_ldm_scan"):
+        return None
+    x = np.ascontiguousarray(x, np.uint8)
+    out = np.zeros(nblocks, np.int64)
+    lib.zn_ldm_scan(x, nblocks, bsize,
+                    np.ascontiguousarray(frame_base, np.int64),
+                    np.ascontiguousarray(lens, np.int32),
+                    min_dist, out)
+    return out

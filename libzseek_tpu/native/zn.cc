@@ -563,9 +563,9 @@ int64_t zn_seektable_parse(const uint8_t* table_frame, int64_t frame_bytes,
 // ZSTD_decompressDCtx (/root/reference/src/decompress.c:537).
 //
 // Token packing (2 uint32 words per sequence):
-//   w0 = ll | (ml_lo14 << 18)      w1 = off | (ml_hi4 << 18)
-//   ll = w0 & 0x3FFFF; ml = ((w0 >> 18) & 0x3FFF) | ((w1 >> 18) << 14);
-//   off = w1 & 0x3FFFF
+//   w0 = ll | (ml_lo14 << 18)      w1 = off | (ml_hi4 << 28)
+//   ll = w0 & 0x3FFFF; ml = ((w0 >> 18) & 0x3FFF) | ((w1 >> 28) << 14);
+//   off = w1 & 0x0FFFFFFF
 //
 // out is the whole frame buffer (match offsets may reach back into earlier
 // blocks); base = this block's decompressed offset within the frame.
@@ -578,8 +578,8 @@ int64_t zn_zir_execute(const uint8_t* lits, int64_t lit_n,
   for (int64_t i = 0; i < n_seq; ++i) {
     uint32_t w0 = toks[2 * i], w1 = toks[2 * i + 1];
     int64_t ll = w0 & 0x3FFFF;
-    int64_t ml = ((w0 >> 18) & 0x3FFF) | ((int64_t)(w1 >> 18) << 14);
-    int64_t off = w1 & 0x3FFFF;
+    int64_t ml = ((w0 >> 18) & 0x3FFF) | ((int64_t)(w1 >> 28) << 14);
+    int64_t off = w1 & 0x0FFFFFFF;
     if (lp + ll > lit_n || op + ll + ml > out_cap) return -1;
     std::memcpy(out + op, lits + lp, (size_t)ll);
     op += ll;
@@ -603,6 +603,81 @@ int64_t zn_zir_execute(const uint8_t* lits, int64_t lit_n,
   std::memcpy(out + op, lits + lp, (size_t)trail);
   op += trail;
   return op - base;
+}
+
+// ---------------------------------------------------------------------------
+// Long-distance match scan (the zstd --long / LDM analog).  The linked
+// TPU parse sees only [previous block | block] (256 KiB); this host pass
+// finds WHOLE-BLOCK matches at larger distances within a batch: rolling
+// 32-byte window hashes at stride 8 feed a last-occurrence table, then
+// per-block candidate distances are verified with exact memcmp — a hit
+// means block b is byte-identical to the bytes `dist` before it.
+// Covered blocks compress to a single long-match sequence and skip the
+// device parse entirely.  x = the batch's blocks concatenated at bsize
+// stride; frame_base[b] = byte offset of b's frame start (-1 = exclude).
+// Returns the number of covered blocks.
+int64_t zn_ldm_scan(const uint8_t* x, int64_t nblocks, int64_t bsize,
+                    const int64_t* frame_base, const int32_t* lens,
+                    int64_t min_dist, int64_t* out_dist) {
+  const int LOG = 20;
+  const uint64_t MUL = 0x9E3779B185EBCA87ull;
+  std::vector<int64_t> table((size_t)1 << LOG, -1);
+  const int CAND = 4;
+  std::vector<int64_t> cand((size_t)nblocks * CAND, 0);
+  // rolling polynomial hash over a 32-byte window; CONTENT-DEFINED
+  // anchors (hash-selected 1-in-64 positions) so repeated content anchors
+  // at the same content offsets regardless of block alignment — a fixed
+  // sampling stride could only ever find distances divisible by it
+  const uint64_t C = 6364136223846793005ull;
+  uint64_t C32 = 1;
+  for (int i = 0; i < 32; ++i) C32 *= C;
+  for (int64_t b = 0; b < nblocks; ++b) {
+    out_dist[b] = 0;
+    int64_t base = b * bsize;
+    int64_t len = lens[b];
+    if (len < 32) continue;
+    uint64_t h = 0;
+    for (int k = 0; k < 32; ++k) h = h * C + x[base + k];
+    for (int64_t off = 0; off + 32 <= len; ++off) {
+      int64_t p = base + off;
+      uint64_t mixed = h * MUL;
+      if ((mixed >> 58) == 0) {  // anchor (rate 1/64)
+        size_t bucket = (size_t)(mixed >> 30) & (((size_t)1 << LOG) - 1);
+        int64_t c = table[bucket];
+        table[bucket] = p;
+        if (c >= 0 && frame_base[b] >= 0) {
+          int64_t d = p - c;
+          if (d >= min_dist && d <= ((int64_t)1 << 28) - 1 &&
+              c >= frame_base[b]) {
+            for (int k = 0; k < CAND; ++k) {
+              if (cand[b * CAND + k] == d) break;
+              if (cand[b * CAND + k] == 0) {
+                cand[b * CAND + k] = d;
+                break;
+              }
+            }
+          }
+        }
+      }
+      if (off + 33 <= len) h = h * C + x[p + 32] - C32 * x[p];
+    }
+  }
+  int64_t hits = 0;
+  for (int64_t b = 0; b < nblocks; ++b) {
+    if (lens[b] != bsize || frame_base[b] < 0) continue;
+    int64_t base = b * bsize;
+    for (int k = 0; k < CAND && cand[b * CAND + k]; ++k) {
+      int64_t d = cand[b * CAND + k];
+      int64_t src = base - d;
+      if (src < frame_base[b]) continue;
+      if (std::memcmp(x + base, x + src, 256) != 0) continue;
+      if (std::memcmp(x + base, x + src, (size_t)bsize) != 0) continue;
+      out_dist[b] = d;
+      ++hits;
+      break;
+    }
+  }
+  return hits;
 }
 
 }  // extern "C"

@@ -55,10 +55,11 @@ DMODE_LIT_HOST = 64     # literals stay on host (raw/RLE section of a
                         # transcoded block): nothing uploaded or fetched
 
 # transcode token packing (2 int32 words per sequence):
-#   w0 = ll | (ml_lo14 << 18)        w1 = off | (ml_hi << 18)
-# ll <= 2^18-1 (block max 128 KiB), ml <= 2^18-1 (131074 max), off bounded
-# by the frame position (host execution has the whole frame window, so
-# transcode accepts offsets beyond the exec path's 128 KiB ring)
+#   w0 = ll | (ml_lo14 << 18)        w1 = off | (ml_hi4 << 28)
+# ll <= 2^18-1 (block max 128 KiB), ml <= 2^18-1 (131074 max), off up to
+# 2^28-1 — host execution has the whole frame window, so transcode
+# accepts long-range offsets far beyond the exec path's 128 KiB ring
+# (both our LDM-produced frames and foreign big-window archives)
 
 _RING_WORDS = 1 << 16   # 256 KiB ring, shared bound with execute_blocks_smem
 _HUF_PEEK = 12
@@ -418,8 +419,8 @@ def _decode_kernel(lp_ref, sq_ref, dtab_ref, ftab_ref, meta_ref, ctab_ref,
                                        jnp.where(idx == 2, r3, r2)))
             n_r2 = jnp.where(ofv > 3, r1, jnp.where(idx == 1, r2, r1))
             r1, r2, r3 = off, n_r2, n_r3
-            # transcode: any in-frame offset the 18-bit token field holds
-            lim = jnp.where(tc, jnp.minimum(op + ll, 0x3FFFF),
+            # transcode: any in-frame offset the 28-bit token field holds
+            lim = jnp.where(tc, jnp.minimum(op + ll, 0x0FFFFFFF),
                             jnp.minimum(op + ll, MAX_OFFSET))
             okf = okf & jnp.where((off >= 1) & (off <= lim), 1, 0)
             # state updates (skipped for the last sequence): LL, ML, OF
@@ -449,7 +450,7 @@ def _decode_kernel(lp_ref, sq_ref, dtab_ref, ftab_ref, meta_ref, ctab_ref,
                                (regen + 3) >> 2)
                 tw = lw + 2 * t
                 out_ref[0, 0, tw] = ll | ((ml & 0x3FFF) << 18)
-                out_ref[0, 0, tw + 1] = off | ((ml >> 14) << 18)
+                out_ref[0, 0, tw + 1] = off | ((ml >> 14) << 28)
 
             # execute (clamped on corruption so addressing stays in range;
             # okf reports the failure); zero-length in transcode mode

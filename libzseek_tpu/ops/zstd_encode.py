@@ -627,8 +627,36 @@ def level_search_params(level: int) -> dict:
     return dict(min_match=5, lazy=2, accel_log=14, dual=True)
 
 
+def apply_ldm_override(seqs: dict, dists: np.ndarray,
+                       lengths: np.ndarray) -> dict:
+    """Replace covered blocks' parse output with the single long-match
+    sequence found by the LDM pre-pass (native zn_ldm_scan): block ==
+    bytes `dist` before it, so it encodes as one (ll=0, ml=len, off=dist)
+    sequence with no literals.  dists (B,) > 0 marks covered blocks.
+    RLE (constant-byte) emission still takes precedence downstream."""
+    cov = dists > 0
+    cm = jnp.asarray(cov)
+    cap = seqs["ll"].shape[1]
+    first = jnp.zeros((1, cap), bool).at[0, 0].set(True)
+    m = cm[:, None] & first
+    dv = jnp.asarray(dists.astype(np.int32))
+    ln = jnp.asarray(lengths.astype(np.int32))
+    out = dict(seqs)
+    out["ll"] = jnp.where(cm[:, None], 0, seqs["ll"])
+    out["ml"] = jnp.where(m, ln[:, None],
+                          jnp.where(cm[:, None], 0, seqs["ml"]))
+    out["offv"] = jnp.where(m, dv[:, None] + 3,
+                            jnp.where(cm[:, None], 0, seqs["offv"]))
+    out["n_seq"] = jnp.where(cm, 1, seqs["n_seq"])
+    out["last_literals"] = jnp.where(cm, 0, seqs["last_literals"])
+    out["lit_count"] = jnp.where(cm, 0, seqs["lit_count"])
+    out["hist"] = jnp.where(cm[:, None], 0, seqs["hist"])
+    return out
+
+
 def zstd_sequences_linked(x2: jnp.ndarray, lengths: jnp.ndarray,
                           min_abs: jnp.ndarray, level: int = 3,
+                          parse_lengths: jnp.ndarray | None = None,
                           interpret: bool = False):
     """Linked-block gated parse (ops/pallas_match.zstd_parse_linked_smem):
     persistent hash table across the batch, cross-block matches, and the
@@ -639,8 +667,11 @@ def zstd_sequences_linked(x2: jnp.ndarray, lengths: jnp.ndarray,
     from libzseek_tpu.ops.pallas_match import zstd_parse_linked_smem
     x = jax.lax.slice_in_dim(x2, 1, x2.shape[0], axis=0)
     h16 = block_entropy_h16(x, lengths)
+    # parse_lengths: zeroed rows skip the parse kernel entirely (LDM-
+    # covered blocks); literal stats below still use the real lengths
+    pl = lengths if parse_lengths is None else parse_lengths
     ll, ml, offv, n_seq, cover = zstd_parse_linked_smem(
-        x2, lengths, min_abs, h16, gate_bits=GATE_FIXED_BITS,
+        x2, pl, min_abs, h16, gate_bits=GATE_FIXED_BITS,
         gated_policy=os.environ.get("ZN_GATED_POLICY", "halve"),
         strict_h16_x6=int(os.environ.get("ZN_STRICT_X6", "480")),
         **level_search_params(level),

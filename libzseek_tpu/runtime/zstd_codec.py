@@ -255,15 +255,35 @@ class ZstdCodec:
             X = np.zeros((Bp + 1, N), np.uint8)
             lens = np.zeros((Bp,), np.int32)
             min_abs = np.zeros((Bp,), np.int32)
+            frame_base = np.full((Bp,), -1, np.int64)
+            fb = 0
             for i, blk in enumerate(blocks):
                 X[i + 1, : len(blk)] = blk
                 lens[i] = len(blk)
                 first = (first_flags is None or first_flags[i] or i == 0
                          or len(blocks[i - 1]) < N)
                 min_abs[i] = (i + 1) * N if first else i * N
+                if first:
+                    fb = i * N
+                frame_base[i] = fb
             for i in range(B, Bp):
                 min_abs[i] = (i + 1) * N
-            from libzseek_tpu.ops.zstd_encode import zstd_sequences_linked
+            from libzseek_tpu.ops.zstd_encode import (apply_ldm_override,
+                                                      zstd_sequences_linked)
+            # long-distance pre-pass (host, native): whole-block matches
+            # beyond the linked parse's 256 KiB window become single
+            # long-match sequences and skip the device parse
+            ldm_dists = None
+            lens_parse = None
+            if _os.environ.get("ZN_LDM", "auto") != "off":
+                from libzseek_tpu import native as _native
+                d = _native.ldm_scan(X[1: B + 1].reshape(-1), B, N,
+                                     frame_base[:B], lens[:B], 1 << 17)
+                if d is not None and (d > 0).any():
+                    ldm_dists = np.zeros(Bp, np.int64)
+                    ldm_dists[:B] = d
+                    lens_parse = jnp.asarray(
+                        np.where(ldm_dists > 0, 0, lens).astype(np.int32))
             if self._devices is not None:
                 # commit the batch to its worker chip; every downstream op
                 # (and all small uncommitted operands) follows the data
@@ -276,7 +296,10 @@ class ZstdCodec:
             seqs = zstd_sequences_linked(X2d, jnp.asarray(lens),
                                          jnp.asarray(min_abs),
                                          level=self.level,
+                                         parse_lengths=lens_parse,
                                          interpret=interp)
+            if ldm_dists is not None:
+                seqs = apply_ldm_override(seqs, ldm_dists, lens)
             Xd = jax.lax.slice_in_dim(X2d, 1, Bp + 1, axis=0)
             if self.entropy in ("auto", "smem"):
                 staged = self._dispatch_chain(seqs, lens[:B], Xd, lens,
@@ -292,9 +315,24 @@ class ZstdCodec:
             return seqs, lens[:B], Xd, lens, packed
         X = np.zeros((Bp, N), np.uint8)
         lens = np.zeros((Bp,), np.int32)
+        frame_base = np.full((Bp,), -1, np.int64)
+        fb = 0
         for i, blk in enumerate(blocks):
             X[i, : len(blk)] = blk
             lens[i] = len(blk)
+            first = (first_flags is None or first_flags[i] or i == 0
+                     or len(blocks[i - 1]) < N)
+            if first:
+                fb = i * N
+            frame_base[i] = fb
+        ldm_dists = None
+        if _os.environ.get("ZN_LDM", "auto") != "off":
+            from libzseek_tpu import native as _native
+            d = _native.ldm_scan(X[:B].reshape(-1), B, N,
+                                 frame_base[:B], lens[:B], 1 << 17)
+            if d is not None and (d > 0).any():
+                ldm_dists = np.zeros(Bp, np.int64)
+                ldm_dists[:B] = d
         Xd = jnp.asarray(X)
         if parser == "hash":
             if self.entropy in ("auto", "smem"):
@@ -308,6 +346,9 @@ class ZstdCodec:
             seqs = zstd_sequences(Xd, jnp.asarray(lens),
                                   seg_size=self.seg_size,
                                   max_len=self.max_len)
+        if ldm_dists is not None:
+            from libzseek_tpu.ops.zstd_encode import apply_ldm_override
+            seqs = apply_ldm_override(seqs, ldm_dists, lens)
         packed = self._pack_small(seqs)
         if _os.environ.get("ZN_PROFILE"):
             print(f"[ZN_PROFILE dispatch] {_time.time() - _t0:.3f}s",
