@@ -227,7 +227,8 @@ def _decode_kernel(lp_ref, sq_ref, dtab_ref, ftab_ref, meta_ref, ctab_ref,
 
         pos = jax.lax.fori_loop(0, regen - 4 * nq, tb, pos)
 
-        @pl.when(pos < 0)
+        # exact consumption: leftover bits mean corruption, not success
+        @pl.when(pos != 0)
         def _():
             stat_ref[0, 0, 1] = 0
 
@@ -276,8 +277,9 @@ def _decode_kernel(lp_ref, sq_ref, dtab_ref, ftab_ref, meta_ref, ctab_ref,
             0, per_w, body,
             (meta_ref[0, 0, 4], meta_ref[0, 0, 5], meta_ref[0, 0, 6],
              meta_ref[0, 0, 7]))
-        ok = jnp.where((st[0] >= 0) & (st[1] >= 0) &
-                       (st[2] >= 0) & (st[3] >= 0), 1, 0)
+        # exact consumption per stream (ADVICE r2: pos == 0, not >= 0)
+        ok = jnp.where((st[0] == 0) & (st[1] == 0) &
+                       (st[2] == 0) & (st[3] == 0), 1, 0)
 
         # compact: shift streams 1..3 from word-aligned temp starts
         # (byte 4*s*per_w) down to the packed layout (byte s*per)
@@ -471,7 +473,10 @@ def _decode_kernel(lp_ref, sq_ref, dtab_ref, ftab_ref, meta_ref, ctab_ref,
         rep_ref[1] = r2
         rep_ref[2] = r3
 
-        @pl.when((okf == 0) | (pos < 0))
+        # exact consumption (ADVICE r2): a corrupt stream that happens to
+        # produce the right advance with leftover bits must fail, matching
+        # libzstd's end-of-stream check
+        @pl.when((okf == 0) | (pos != 0))
         def _():
             stat_ref[0, 0, 1] = 0
 

@@ -39,7 +39,8 @@ PRIME = np.uint32(2654435761)
 
 
 def _lz4_kernel(win_ref, len_ref, out_ref, olen_ref, table_ref, *,
-                hash_log: int, block_bytes: int, max_offset: int):
+                hash_log: int, block_bytes: int, max_offset: int,
+                lazy: int = 0, accel_log: int = 6):
     # window coords: [0, block_bytes) = previous block (context),
     # [block_bytes, blen) = this block; absolute position = base + p
     WW = win_ref.shape[2]
@@ -192,21 +193,53 @@ def _lz4_kernel(win_ref, len_ref, out_ref, olen_ref, table_ref, *,
         return op
 
     def do_match_at(ip, anchor, op, miss, cand_abs, w):
-        """Confirm the candidate's bytes (tag collisions), then extend and
-        emit; unconfirmed candidates take the miss transition."""
+        """Confirm the candidate's bytes (tag collisions), then extend
+        (lazily at HC levels), emit; unconfirmed candidates take the miss
+        transition."""
         cand = cand_abs - base
         conf = w32(cand) == w
 
         def hit(_):
             l = extend(ip, cand)
-            op2 = emit_seq(op, anchor, ip, l, ip - cand)
+            ipf, candf, lf = ip, cand, l
+            # HC levels (compression_level >= 3 maps to LZ4HC in the
+            # reference, /root/reference/src/compress.c:186-207): probe
+            # ip+1(/+2) for a strictly longer match before committing
+            for _lz in range(lazy):
+                def try_next(args):
+                    ipf, candf, lf = args
+                    h2, tagb2, w2 = probe_sig(ipf + 1)
+                    e2 = table_ref[h2]
+                    pos2 = base + ipf + 1
+                    wlo2 = jnp.maximum(min_ref, pos2 - max_offset)
+                    good2 = (e2 >= tagb2 + wlo2) & (e2 < tagb2 + pos2)
+                    table_ref[h2] = pos2 | tagb2
+                    c2 = (e2 & 0xFFFFFF) - base
+
+                    def probe2(_):
+                        conf2 = w32(c2) == w2
+                        l2 = jax.lax.cond(
+                            conf2, lambda _: extend(ipf + 1, c2),
+                            lambda _: jnp.int32(0), None)
+                        better = conf2 & (l2 > lf)
+                        return (jnp.where(better, ipf + 1, ipf),
+                                jnp.where(better, c2, candf),
+                                jnp.where(better, l2, lf))
+
+                    return jax.lax.cond(good2, probe2,
+                                        lambda _: (ipf, candf, lf), None)
+
+                ipf, candf, lf = jax.lax.cond(
+                    ipf + 1 < limit, try_next, lambda a: a,
+                    (ipf, candf, lf))
+            op2 = emit_seq(op, anchor, ipf, lf, ipf - candf)
             # keep the table warm at the match tail (liblz4 stores ip-2
             # after a match); clamped insert, may sit near block end
-            insert_at(ip + l - 2)
-            return ip + l, ip + l, op2, jnp.int32(0)
+            insert_at(ipf + lf - 2)
+            return ipf + lf, ipf + lf, op2, jnp.int32(0)
 
         def do_miss(_):
-            return ip + 1 + (miss >> 6), anchor, op, miss + 1
+            return ip + 1 + (miss >> accel_log), anchor, op, miss + 1
 
         return jax.lax.cond(conf, hit, do_miss, None)
 
@@ -223,7 +256,7 @@ def _lz4_kernel(win_ref, len_ref, out_ref, olen_ref, table_ref, *,
             return do_match_at(ip, anchor, op, miss, entry & 0xFFFFFF, w)
 
         def do_miss(_):
-            return ip + 1 + (miss >> 6), anchor, op, miss + 1
+            return ip + 1 + (miss >> accel_log), anchor, op, miss + 1
 
         return jax.lax.cond(good, hit, do_miss, None)
 
@@ -255,8 +288,8 @@ def _lz4_kernel(win_ref, len_ref, out_ref, olen_ref, table_ref, *,
             table_ref[h] = pos_k | tagb
             fnd = fnd | (good.astype(jnp.int32) << k)
             es.append(entry)
-        return (q + 1 + (miss >> 8), fnd, es[0], es[1], es[2], es[3],
-                miss + 4, q)
+        return (q + 1 + (miss >> (accel_log + 2)), fnd, es[0], es[1],
+                es[2], es[3], miss + 4, q)
 
     def outer(state):
         # realign: single-step while ip is not word-aligned
@@ -317,12 +350,14 @@ def _lz4_kernel(win_ref, len_ref, out_ref, olen_ref, table_ref, *,
 
 
 @partial(jax.jit, static_argnames=("hash_log", "block_bytes", "max_offset",
-                                   "out_cap", "interpret"))
+                                   "out_cap", "lazy", "accel_log",
+                                   "interpret"))
 def lz4_emit_blocks_smem(blocks: jnp.ndarray, lengths: jnp.ndarray,
                          min_ref: jnp.ndarray, out_cap: int,
                          block_bytes: int = 1 << 16,
                          hash_log: int = 16,
                          max_offset: int = 65535,
+                         lazy: int = 0, accel_log: int = 6,
                          interpret: bool = False):
     """Fused LZ4 block encode with shared linked-block context.
 
@@ -342,7 +377,7 @@ def lz4_emit_blocks_smem(blocks: jnp.ndarray, lengths: jnp.ndarray,
     words = jax.lax.bitcast_convert_type(
         blocks.reshape(B1, NW, 4), jnp.int32)
     kernel = partial(_lz4_kernel, hash_log=hash_log, block_bytes=block_bytes,
-                     max_offset=max_offset)
+                     max_offset=max_offset, lazy=lazy, accel_log=accel_log)
 
     def smem(shape):
         return pl.BlockSpec(memory_space=pltpu.SMEM,

@@ -436,7 +436,7 @@ def huf_decode_lanes(win32u: jnp.ndarray, total_bits: jnp.ndarray,
     out0 = jnp.zeros((L, cap), jnp.uint8)
     t, pos, out = jax.lax.while_loop(
         cond, body, (jnp.int32(0), total_bits, out0))
-    return out[:, :out_cap], pos >= 0
+    return out[:, :out_cap], pos == 0   # exact consumption
 
 
 @partial(jax.jit, static_argnames=("max_seqs", "unroll"))
@@ -549,7 +549,7 @@ def fse_decode_seq_lanes(win32u: jnp.ndarray, total_bits: jnp.ndarray,
         jax.lax.while_loop(cond, body, state)
     lls, mls, offs = lls[:, :max_seqs], mls[:, :max_seqs], offs[:, :max_seqs]
     rep_final = jnp.stack([r1, r2, r3], axis=1)
-    ok = pos >= 0
+    ok = pos == 0   # exact consumption (ADVICE r2)
     return lls, mls, offs, rep_final, ok
 
 

@@ -554,10 +554,11 @@ def compact_payload(lit_words: jnp.ndarray, lit_bytes: jnp.ndarray,
     # scattering all B*(LW+SW) source words (scatters run ~100M elem/s;
     # the packed output is typically ~10x smaller than the padded planes)
     src = jnp.concatenate([lit_words, seq_words], axis=1)   # (B, LW+SW)
-    i = np.arange(cap_words, dtype=np.int32)[:, None]       # (cap, 1)
-    r = jnp.sum((base[None, :] <= i).astype(jnp.int32), axis=1) - 1
-    r = jnp.clip(r, 0, B - 1)
-    d = i[:, 0] - base[r]
+    i = np.arange(cap_words, dtype=np.int32)                # (cap,)
+    # owning row via sorted-prefix search: O(cap log B), not the
+    # O(cap x B) broadcast-compare (ADVICE r2)
+    r = jnp.clip(jnp.searchsorted(base, i, side="right") - 1, 0, B - 1)
+    d = i - base[r]
     lwr = lw[r]
     col = jnp.where(d < lwr, d, LW + (d - lwr))
     col = jnp.clip(col, 0, LW + SW - 1)

@@ -43,12 +43,28 @@ class LZ4Codec:
     name = "lz4"
     supports_device_frames = True
 
-    def __init__(self, level: int = 0, max_batch_blocks: int = 256,
+    @staticmethod
+    def _level_params(level: int) -> dict:
+        """compression_level -> fused-kernel search effort, mirroring the
+        reference's LZ4F level semantics (level >= 3 engages LZ4HC there,
+        /root/reference/src/compress.c:186-207, zseek.h:145-148): HC
+        levels probe lazily and disable the miss accelerator."""
+        if level < 0:      # fast/acceleration arm
+            return dict(lazy=0, accel_log=5)
+        if level < 3:      # default
+            return dict(lazy=0, accel_log=6)
+        if level < 9:      # HC
+            return dict(lazy=1, accel_log=8)
+        return dict(lazy=2, accel_log=12)
+
+    def __init__(self, level: int = 0, max_batch_blocks: int = 128,
                  block_independent: bool = False, parser: str = "auto",
                  workers: int | None = None):
         self.level = level
         self.seg_size = 8 if level < 0 else 4
-        self.max_batch_blocks = max_batch_blocks
+        # 24-bit tagged-table positions in the fused kernel bound the
+        # batch: (Bp+1) * 64 KiB <= 2^24 => at most 128 blocks (ADVICE r2)
+        self.max_batch_blocks = min(max_batch_blocks, 128)
         self.block_independent = block_independent
         self.parser = parser
         # N workers ≙ N chips: batches round-robin across devices (see
@@ -75,7 +91,11 @@ class LZ4Codec:
 
     def _cap_words_for(self, batch_words: int) -> int:
         if self._cap_hint is None:
-            return self._bucket_words(batch_words // 2 + (1 << 12))
+            # first batch: seed at the compress bound — overshoot only
+            # costs fetch bytes, undershoot a full extra device->host
+            # round trip (ADVICE r2)
+            return self._bucket_words(batch_words + (batch_words >> 8) +
+                                      (1 << 12))
         return self._cap_hint
 
     def _put(self, arr):
@@ -180,7 +200,8 @@ class LZ4Codec:
             interp = jax.devices()[0].platform == "cpu"
             out, olens = lz4_emit_blocks_smem(
                 self._put(D), jnp.asarray(dlens), jnp.asarray(dminr),
-                cap, block_bytes=BLOCK, interpret=interp)
+                cap, block_bytes=BLOCK, interpret=interp,
+                **self._level_params(self.level))
             # blocks whose LZ4 output reaches the raw size are stored raw
             # from the HOST's original bytes at assembly — exclude their
             # payloads from the compaction so the fetch never moves them

@@ -61,3 +61,34 @@ def test_block_without_context_matches_oracle(stream):
     assert len(comp) <= int(len(ref) * 1.1) + 16
     frame = lz4f.assemble_frame([(comp, False)], BK, block_independent=True)
     assert bytes(golden.lz4f_decompress(frame)) == stream[:BK].tobytes()
+
+
+def test_hc_levels_golden_and_monotone(stream):
+    """HC level params (LZ4Codec._level_params: lazy probing + disabled
+    miss accelerator for compression_level >= 3, the reference's LZ4HC
+    arm) must stay golden-decodable and never compress worse than the
+    default arm."""
+    from libzseek_tpu.runtime.codec import LZ4Codec
+
+    B = 3
+    D = np.zeros((B + 1, BK), np.uint8)
+    for i in range(B):
+        D[i + 1] = stream[i * BK: (i + 1) * BK]
+    dlens = np.full((B,), 2 * BK, np.int32)
+    dminr = np.array([BK, BK, 2 * BK], np.int32)
+    cap = lz4_compress_bound(BK)
+    cap += (-cap) % 128
+    sizes = {}
+    for lvl in (0, 3, 9):
+        p = LZ4Codec._level_params(lvl)
+        out, olen = lz4_emit_blocks_smem(
+            jnp.asarray(D), jnp.asarray(dlens), jnp.asarray(dminr), cap,
+            block_bytes=BK, interpret=True, **p)
+        out = np.asarray(out).view(np.uint8).reshape(B, -1)
+        olen = np.asarray(olen)
+        blocks = [(out[i, : olen[i]].tobytes(), False) for i in range(B)]
+        frame = lz4f.assemble_frame(blocks, 3 * BK,
+                                    block_independent=False)
+        assert bytes(golden.lz4f_decompress(frame)) == stream.tobytes(), lvl
+        sizes[lvl] = int(olen.sum())
+    assert sizes[3] <= sizes[0] and sizes[9] <= sizes[3], sizes

@@ -76,8 +76,26 @@ def test_ratio_not_worse_than_golden(cases):
     frames = codec.compress_frames(list(cases.values()))
     for (name, raw), fr in zip(cases.items(), frames):
         g = golden.zstd_compress(raw, level=3)
-        assert len(fr) <= max(len(g) * 1.05, len(g) + 16), \
+        assert len(fr) <= max(len(g) * 1.005, len(g) + 16), \
             (name, len(fr), len(g))
+
+
+def test_ratio_large_corpus(rng):
+    """BASELINE "size <= reference" on a large (32 MiB) corpus — the small
+    gates alone let large-scale regressions through (VERDICT r2 weak #5).
+    Runs the production path on TPU, the exact sort pipeline on CPU."""
+    from libzseek_tpu.testing.corpus import mixed_corpus
+    raw = mixed_corpus(rng, 32 << 20).tobytes()
+    codec = ZstdCodec()
+    step = 4 << 20
+    frames = codec.compress_frames(
+        [raw[i: i + step] for i in range(0, len(raw), step)])
+    ours = sum(len(f) for f in frames)
+    stock = sum(len(golden.zstd_compress(raw[i: i + step], level=3))
+                for i in range(0, len(raw), step))
+    assert ours <= stock * 1.005, (ours, stock)
+    for i, fr in enumerate(frames):
+        assert golden.zstd_decompress(fr) == raw[i * step: (i + 1) * step]
 
 
 def test_rle_blocks_for_constant_data():
