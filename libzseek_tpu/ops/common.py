@@ -116,19 +116,29 @@ def ff_run_length(x: jnp.ndarray, value: int = 0xFF) -> jnp.ndarray:
 
 def hist256(x: jnp.ndarray, mask: jnp.ndarray, chunk: int = 16384) -> jnp.ndarray:
     """Masked per-row byte histogram: (B, N) uint8 + (B, N) bool -> (B, 256)
-    int32.  Compare-and-reduce over value planes instead of a scatter-add —
-    scatters run near 100M elem/s on TPU while the dense compare+sum is
-    VPU-rate, so this is ~an order of magnitude faster for N >= 64K."""
+    int32.  Nibble decomposition onto the MXU: hist[hi*16+lo] =
+    sum_i [hi_i==hi]*m_i * [lo_i==lo] is a batched (16, N) x (N, 16)
+    matmul with one-hot nibble planes as inputs — 0/1 values are exact in
+    bf16 and row sums stay far below 2^24, so f32 accumulation is exact.
+    Beats both scatter-adds (~100M elem/s) and the 256-value
+    compare-plane reduce (VPU-rate) for N >= 64K."""
     B, N = x.shape
     xi = x.astype(jnp.int32)
-    m = mask.astype(jnp.int32)
-    vals = jnp.arange(256, dtype=jnp.int32)
+    m = mask
+    hi_vals = jnp.arange(16, dtype=jnp.int32)
     parts = []
     for s in range(0, N, chunk):
-        xc = xi[:, s: s + chunk, None]
-        mc = m[:, s: s + chunk, None]
-        parts.append(jnp.sum((xc == vals[None, None, :]) * mc, axis=1))
-    return sum(parts)
+        xc = xi[:, s: s + chunk]
+        mc = m[:, s: s + chunk]
+        a = ((xc[:, :, None] >> 4) == hi_vals[None, None, :]) & \
+            mc[:, :, None]
+        b = (xc[:, :, None] & 15) == hi_vals[None, None, :]
+        h = jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        parts.append(h)
+    return sum(parts).reshape(B, 256).astype(jnp.int32)
 
 
 def resolve_copy_chains(src: jnp.ndarray, rounds: int) -> jnp.ndarray:

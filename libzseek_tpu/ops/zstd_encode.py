@@ -569,12 +569,14 @@ def compact_payload(lit_words: jnp.ndarray, lit_bytes: jnp.ndarray,
 
 
 @jax.jit
-def block_entropy_h16(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+def block_entropy_h16(x: jnp.ndarray, lengths: jnp.ndarray):
     """Per-row byte entropy in 1/16-bit fixed point, clipped to [1, 8] bits
     — the in-kernel profitability gate's cost scale.  Full-row histogram:
     the dense compare-plane hist is VPU-rate, while the previous 1-in-4
     strided sample (x[:, ::4]) forced a relayout that cost ~44 ms per
-    8 MiB batch — 3.5x the parse kernel itself."""
+    8 MiB batch — 3.5x the parse kernel itself.  Returns (h16, hist) —
+    the histogram is reused as the literal-code-building distribution
+    downstream (see _linked_post)."""
     B, N = x.shape
     pos = jnp.broadcast_to(np.arange(N, dtype=np.int32)[None, :], (B, N))
     in_range = pos < lengths[:, None]
@@ -583,14 +585,18 @@ def block_entropy_h16(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
         jnp.sum(hist, axis=1, keepdims=True).astype(jnp.float32), 1.0)
     H = -jnp.sum(jnp.where(pr > 0, pr * jnp.log2(jnp.maximum(pr, 1e-9)),
                            0.0), axis=1)
-    return jnp.round(jnp.clip(H, 1.0, 8.0) * 16.0).astype(jnp.int32)
+    return jnp.round(jnp.clip(H, 1.0, 8.0) * 16.0).astype(jnp.int32), hist
 
 
 @partial(jax.jit, static_argnames=("cap",))
-def _linked_post(x, lengths, ll, ml, offv, n_seq, cover, cap: int):
+def _linked_post(x, lengths, ll, ml, offv, n_seq, cover, hist, cap: int):
     """XLA tail of the linked gated parse: the sequences are already final
-    (the gate ran in-kernel), so only the literal statistics remain —
-    coverage mask, literal count, literal histogram, RLE-block detection."""
+    (the gate ran in-kernel), so only literal statistics remain —
+    coverage mask, literal histogram, RLE-block detection.  lit_count is
+    exact without the mask (literals = everything matches don't cover);
+    `hist` (the full-block histogram from block_entropy_h16) is unused
+    here but kept in the signature for the profiling tools."""
+    del hist
     B, N = x.shape
     seq_end = jnp.cumsum(ll + ml, axis=1)
     seq_start = seq_end - ml
@@ -600,12 +606,13 @@ def _linked_post(x, lengths, ll, ml, offv, n_seq, cover, cap: int):
     in_range = pos < lengths[:, None]
     in_match = C.fill_regions(N, seq_start, seq_end, valid)
     is_lit = (~in_match) & in_range
-    lit_count = jnp.sum(is_lit.astype(jnp.int32), axis=1)
-    hist = C.hist256(x, is_lit)
-    return dict(ll=jnp.where(valid, ll, 0), ml=jnp.where(valid, ml, 0),
+    ml_v = jnp.where(valid, ml, 0)
+    lit_count = lengths - jnp.sum(ml_v, axis=1)
+    lit_hist = C.hist256(x, is_lit)
+    return dict(ll=jnp.where(valid, ll, 0), ml=ml_v,
                 offv=jnp.where(valid, offv, 0), n_seq=n_seq,
                 last_literals=lengths - cover,
-                lit_count=lit_count, hist=hist,
+                lit_count=lit_count, hist=lit_hist,
                 const=_const_byte(x, lengths, in_range))
 
 
@@ -667,7 +674,7 @@ def zstd_sequences_linked(x2: jnp.ndarray, lengths: jnp.ndarray,
     import os
     from libzseek_tpu.ops.pallas_match import zstd_parse_linked_smem
     x = jax.lax.slice_in_dim(x2, 1, x2.shape[0], axis=0)
-    h16 = block_entropy_h16(x, lengths)
+    h16, hist = block_entropy_h16(x, lengths)
     # parse_lengths: zeroed rows skip the parse kernel entirely (LDM-
     # covered blocks); literal stats below still use the real lengths
     pl = lengths if parse_lengths is None else parse_lengths
@@ -677,7 +684,7 @@ def zstd_sequences_linked(x2: jnp.ndarray, lengths: jnp.ndarray,
         strict_h16_x6=int(os.environ.get("ZN_STRICT_X6", "480")),
         **level_search_params(level),
         interpret=interpret)
-    return _linked_post(x, lengths, ll, ml, offv, n_seq, cover,
+    return _linked_post(x, lengths, ll, ml, offv, n_seq, cover, hist,
                         cap=ll.shape[1])
 
 

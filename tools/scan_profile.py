@@ -52,14 +52,15 @@ def chain_to(which, dep):
     x = jax.lax.slice_in_dim(x2, 1, B + 1, axis=0)
     if which == "xor":
         return x[0, 0].astype(jnp.int32)
-    h16 = block_entropy_h16(x, lens)
+    h16, hist = block_entropy_h16(x, lens)
     if which == "h16":
         return h16[0]
     ll, ml, offv, n_seq, cover = zstd_parse_linked_smem(
         x2, lens, min_abs, h16, gate_bits=GATE_FIXED_BITS)
     if which == "parse":
         return n_seq[0]
-    seqs = _linked_post(x, lens, ll, ml, offv, n_seq, cover, cap=CAP)
+    seqs = _linked_post(x, lens, ll, ml, offv, n_seq, cover, hist,
+                        cap=CAP)
     if which == "post":
         return seqs["hist"][0, 0] + seqs["n_seq"][0]
     from libzseek_tpu.ops import huffman_plan as hp
