@@ -43,6 +43,11 @@ def _load():
     lib.zn_seektable_serialize.restype = ctypes.c_int64
     lib.zn_seektable_parse.argtypes = [u8p, ctypes.c_int64, i64p]
     lib.zn_seektable_parse.restype = ctypes.c_int64
+    if hasattr(lib, "zn_lz4_decode"):
+        lib.zn_lz4_decode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64]
+        lib.zn_lz4_decode.restype = ctypes.c_int64
     if hasattr(lib, "zn_ldm_scan"):
         lib.zn_ldm_scan.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                                     i64p, i32p, ctypes.c_int64, i64p]
@@ -183,3 +188,17 @@ def ldm_scan(x: np.ndarray, nblocks: int, bsize: int,
                     np.ascontiguousarray(lens, np.int32),
                     min_dist, out)
     return out
+
+
+def lz4_block_decode(src: np.ndarray, out: np.ndarray, base: int,
+                     lo: int = 0) -> int:
+    """Decode one LZ4 block into the frame buffer `out` at `base`; matches
+    may reach back to byte `lo` (frame start for linked blocks).  Returns
+    the decompressed size, -1 on corrupt input, -2 without the native
+    library."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "zn_lz4_decode"):
+        return -2
+    src = np.ascontiguousarray(src, np.uint8)
+    return int(lib.zn_lz4_decode(src.ctypes.data, src.shape[0],
+                                 out.ctypes.data, out.shape[0], base, lo))

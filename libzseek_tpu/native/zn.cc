@@ -606,6 +606,60 @@ int64_t zn_zir_execute(const uint8_t* lits, int64_t lit_n,
 }
 
 // ---------------------------------------------------------------------------
+// LZ4 block decode into a frame buffer (linked-block window: matches may
+// reach back to byte `lo` of `out`, i.e. the frame start for linked
+// frames or the block start for independent ones).  LZ4 has no entropy
+// stage — decode is pure token-driven memcpy, so the host-side expansion
+// of the compressed bytes (which the host already holds) beats any
+// device round trip; the device decoder remains the HBM-resident path.
+// Returns decompressed size or -1 on corrupt input.
+int64_t zn_lz4_decode(const uint8_t* src, int64_t n, uint8_t* out,
+                      int64_t out_cap, int64_t base, int64_t lo) {
+  int64_t ip = 0, op = base;
+  while (ip < n) {
+    uint8_t tok = src[ip++];
+    int64_t ll = tok >> 4;
+    if (ll == 15) {
+      uint8_t b;
+      do {
+        if (ip >= n) return -1;
+        b = src[ip++];
+        ll += b;
+      } while (b == 255);
+    }
+    if (ip + ll > n || op + ll > out_cap) return -1;
+    std::memcpy(out + op, src + ip, (size_t)ll);
+    ip += ll;
+    op += ll;
+    if (ip >= n) break;  // final literal run
+    if (ip + 2 > n) return -1;
+    int64_t off = src[ip] | ((int64_t)src[ip + 1] << 8);
+    ip += 2;
+    if (off < 1 || off > op - lo) return -1;
+    int64_t ml = (tok & 15) + 4;
+    if ((tok & 15) == 15) {
+      uint8_t b;
+      do {
+        if (ip >= n) return -1;
+        b = src[ip++];
+        ml += b;
+      } while (b == 255);
+    }
+    if (op + ml > out_cap) return -1;
+    int64_t seed = off < ml ? off : ml;
+    std::memcpy(out + op, out + op - off, (size_t)seed);
+    int64_t c = seed;
+    while (c < ml) {
+      int64_t k = c < ml - c ? c : ml - c;
+      std::memcpy(out + op + c, out + op, (size_t)k);
+      c += k;
+    }
+    op += ml;
+  }
+  return op - base;
+}
+
+// ---------------------------------------------------------------------------
 // Long-distance match scan (the zstd --long / LDM analog).  The linked
 // TPU parse sees only [previous block | block] (256 KiB); this host pass
 // finds WHOLE-BLOCK matches at larger distances within a batch: rolling

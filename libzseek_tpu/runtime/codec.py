@@ -285,12 +285,55 @@ class LZ4Codec:
         out = self.decompress_frames([data], [d_size])
         return out[0]
 
+    def _decompress_frames_host(self, datas, d_sizes):
+        """Native host decode (zn_lz4_decode): LZ4 has no entropy stage,
+        so expanding the compressed bytes the host already holds is pure
+        memcpy work — the same insight as the zstd transcode path's
+        host-resident literals, taken to its limit.  The device decoder
+        remains the path for HBM-resident frames (to_device).  Returns
+        None when the native library is absent (callers fall back)."""
+        import os
+        from libzseek_tpu import native
+        if not native.have_native() or \
+                os.environ.get("ZN_LZ4_HOST_DECODE", "auto") == "off":
+            return None
+        out = []
+        for data, d in zip(datas, d_sizes):
+            info = lz4f.parse_frame_header(data)
+            blocks, _ = lz4f.parse_blocks(data, info, info.header_size)
+            buf = np.empty(d, np.uint8)
+            base = 0
+            src = np.frombuffer(data, np.uint8)
+            for blk in blocks:
+                if blk.uncompressed:
+                    buf[base: base + blk.size] = \
+                        src[blk.offset: blk.offset + blk.size]
+                    base += blk.size
+                else:
+                    lo = base if info.block_independent else 0
+                    n = native.lz4_block_decode(
+                        src[blk.offset: blk.offset + blk.size], buf,
+                        base, lo)
+                    if n < 0:
+                        raise FormatError("corrupt LZ4 block")
+                    base += n
+            if base != d:
+                raise FormatError(
+                    f"LZ4 frame regenerated {base} != declared {d}")
+            out.append(buf.tobytes())
+        return out
+
     def decompress_frames(self, datas: list[bytes], d_sizes: list[int],
                           to_device: bool = False) -> list[bytes]:
-        """Decode a batch of LZ4F frames.  Frames are grouped by padded
-        geometry so each group is one kernel call.  to_device returns
-        device-resident uint8 arrays (HBM frame cache / bounded-host-memory
-        pread) instead of host bytes."""
+        """Decode a batch of LZ4F frames.  Host delivery uses the native
+        block decoder; the device kernel path serves to_device (HBM
+        frame cache) and environments without the native library.  Frames
+        are grouped by padded geometry so each group is one kernel
+        call."""
+        if not to_device:
+            res = self._decompress_frames_host(datas, d_sizes)
+            if res is not None:
+                return res
         parsed = []
         for data in datas:
             info = lz4f.parse_frame_header(data)

@@ -124,11 +124,18 @@ def bench_pread(data: bytes, codec: str, frame_mib: int, terse: bool):
     w.write(data)
     w.close()
     arch = buf.getvalue()
-    r = Reader(arch, cache_frames=24)
-    total = r.decompressed_size
+    total = len(data)
     rng = np.random.default_rng(3)
 
-    # sequential full decode
+    # compile warm-up (decode executables for this size), then measure a
+    # fresh reader (cold cache, warm executables) — the same steady-state
+    # convention as the compress side
+    warm = Reader(arch, cache_frames=24)
+    got = 0
+    while got < total:
+        got += len(warm.pread(1 << 20, got))
+
+    r = Reader(arch, cache_frames=24)
     t0 = time.monotonic()
     got = 0
     while got < total:
