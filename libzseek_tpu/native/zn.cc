@@ -698,7 +698,11 @@ int64_t zn_ldm_scan(const uint8_t* x, int64_t nblocks, int64_t bsize,
       if ((mixed >> 58) == 0) {  // anchor (rate 1/64)
         size_t bucket = (size_t)(mixed >> 30) & (((size_t)1 << LOG) - 1);
         int64_t c = table[bucket];
-        table[bucket] = p;
+        // age-gated overwrite: keep an entry until it is >= min_dist old,
+        // otherwise content with a repeat period below min_dist keeps
+        // refreshing the bucket and multi-period distances (the ones the
+        // block parse cannot see) never surface
+        if (c < 0 || p - c >= min_dist) table[bucket] = p;
         if (c >= 0 && frame_base[b] >= 0) {
           int64_t d = p - c;
           if (d >= min_dist && d <= ((int64_t)1 << 28) - 1 &&

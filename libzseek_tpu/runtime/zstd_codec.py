@@ -273,6 +273,9 @@ class ZstdCodec:
             # long-distance pre-pass (host, native): whole-block matches
             # beyond the linked parse's 256 KiB window become single
             # long-match sequences and skip the device parse
+            # NOTE: covered blocks still run the (cheap, long-match-
+            # dominated) parse so the persistent hash table stays warm for
+            # the blocks that follow; only their output is replaced
             ldm_dists = None
             lens_parse = None
             if _os.environ.get("ZN_LDM", "auto") != "off":
@@ -282,8 +285,6 @@ class ZstdCodec:
                 if d is not None and (d > 0).any():
                     ldm_dists = np.zeros(Bp, np.int64)
                     ldm_dists[:B] = d
-                    lens_parse = jnp.asarray(
-                        np.where(ldm_dists > 0, 0, lens).astype(np.int32))
             if self._devices is not None:
                 # commit the batch to its worker chip; every downstream op
                 # (and all small uncommitted operands) follows the data

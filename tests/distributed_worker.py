@@ -65,7 +65,43 @@ def main():
 
     if dist.is_writer_process():
         print("DIST-OK", flush=True)
+    product_write()
     jax.distributed.shutdown()
+
+
+
+
+def product_write():
+    """Multi-host write product path: both processes compress their frame
+    shard, process 0 assembles the complete archive; verified via the
+    Reader and byte equality."""
+    import io
+
+    from libzseek_tpu.runtime.reader import Reader
+
+    rng = np.random.default_rng(100 + pid)
+    my_frames = [
+        (b"process %d frame %d " % (pid, k)) * 600 +
+        rng.integers(0, 256, 512, np.uint8).tobytes()
+        for k in range(2 + pid)   # uneven shard sizes on purpose
+    ]
+    sink = io.BytesIO()
+    wrote = dist.write_archive(sink, my_frames)
+    if not dist.is_writer_process():
+        return
+    assert wrote == 2 * nproc + sum(range(nproc)), wrote
+    # reconstruct the expected global byte stream (process-major order)
+    want = b""
+    for p in range(nproc):
+        r = np.random.default_rng(100 + p)
+        for k in range(2 + p):
+            want += (b"process %d frame %d " % (p, k)) * 600 + \
+                r.integers(0, 256, 512, np.uint8).tobytes()
+    arch = sink.getvalue()
+    rd = Reader(arch)
+    got = rd.pread_full(rd.decompressed_size, 0)
+    assert got == want, "multi-host archive mismatch"
+    print("DIST-WRITE-OK", flush=True)
 
 
 if __name__ == "__main__":

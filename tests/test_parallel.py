@@ -133,3 +133,6 @@ def test_two_process_distributed_gather():
     for rc, out, err in outs:
         assert rc == 0, (rc, err.decode()[-2000:])
     assert b"DIST-OK" in outs[0][1]
+    # the multi-host write PRODUCT path: both processes compress shards,
+    # process 0 assembles the complete archive and verifies it end-to-end
+    assert b"DIST-WRITE-OK" in outs[0][1]
