@@ -567,34 +567,36 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
     # position.  Candidate hits exit to the shared match arm; the head/
     # tail and post-match realignment run the single-step body.
 
-    def make_quad(strict: bool, body1, do_match_at):
+    def make_quad(strict: bool, body1, do_match_at, W: int = 4):
         def U(v):
             return v.astype(jnp.uint32)
 
+        NLD = W // 4 + (2 if strict else 1)  # aligned words per iteration
+
         def qcond(s):
             q, fnd = s[0], s[1]
-            return (fnd == 0) & (4 * q <= block_bytes + blen - 16)
+            return (fnd == 0) & (4 * q <= block_bytes + blen - 12 - W)
 
         def qbody(s):
-            q, fnd, e0, e1, e2, e3, miss, qp = s
-            w0 = U(win_ref[0, 0, q])
-            w1 = U(win_ref[0, 0, q + 1])
-            if strict:
-                w2 = U(win_ref[0, 0, q + 2])
+            q = s[0]
+            fnd = s[1]
+            miss = s[2 + W]
+            ws = [U(win_ref[0, 0, q + j]) for j in range(NLD)]
             pos0 = base + 4 * q
-            # one window bound for all four positions (conservative by 3
+            # one window bound for all W positions (conservative by W-1
             # bytes at the far edge, so emitted dists stay <= max_offset)
-            wlo = jnp.maximum(min_abs, pos0 - (max_offset - 3))
+            wlo = jnp.maximum(min_abs, pos0 - (max_offset - (W - 1)))
             es = []
-            for k in range(4):
-                wk = w0 if k == 0 else \
-                    ((w0 >> (8 * k)) | (w1 << (32 - 8 * k)))
+            for k in range(W):
+                j, r = k // 4, 8 * (k % 4)
+                wk = ws[j] if r == 0 else \
+                    ((ws[j] >> r) | (ws[j + 1] << (32 - r)))
                 if strict:
-                    ek = w1 if k == 0 else \
-                        ((w1 >> (8 * k)) | (w2 << (32 - 8 * k)))
+                    ek = ws[j + 1] if r == 0 else \
+                        ((ws[j + 1] >> r) | (ws[j + 2] << (32 - r)))
                     u = (wk ^ (ek * GOLD)) * PRIME
                 else:
-                    ek = (w1 >> (8 * k)) & jnp.uint32(0xFF)
+                    ek = (ws[j + 1] >> r) & jnp.uint32(0xFF)
                     u = (wk ^ (ek << 13)) * PRIME
                 h = (u >> shift).astype(jnp.int32)
                 tagb = ((u << TAGB_SH).astype(jnp.int32)) & TAG_MASK
@@ -606,8 +608,8 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
                 es.append(entry)
             if debug_counters:
                 n_ref[0, 0, 2] = n_ref[0, 0, 2] + 1
-            return (q + 1 + (miss >> (accel_log + 2)), fnd, es[0], es[1],
-                    es[2], es[3], miss + 4, q)
+            return (q + W // 4 + (miss >> (accel_log + 2)), fnd, *es,
+                    miss + W, q)
 
         def outer(state):
             # realign: single-step while ip is not word-aligned
@@ -617,24 +619,26 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
             q0 = ip >> 2
             z = jnp.int32(0)
             qs = jax.lax.while_loop(
-                qcond, qbody, (q0, z, z, z, z, z, miss, q0))
-            q, fnd, e0, e1, e2, e3, missq, qp = qs
+                qcond, qbody, (q0, z) + (z,) * W + (miss, q0))
+            q = qs[0]
+            fnd = qs[1]
+            es = qs[2: 2 + W]
+            missq = qs[2 + W]
+            qp = qs[3 + W]
 
             def with_hit(_):
-                k = jnp.where(
-                    (fnd & 1) != 0, jnp.int32(0), jnp.where(
-                        (fnd & 2) != 0, jnp.int32(1), jnp.where(
-                            (fnd & 4) != 0, jnp.int32(2), jnp.int32(3))))
-                entry = jnp.where(
-                    (fnd & 1) != 0, e0, jnp.where(
-                        (fnd & 2) != 0, e1, jnp.where(
-                            (fnd & 4) != 0, e2, e3)))
+                k = jnp.int32(W - 1)
+                entry = es[W - 1]
+                for j in range(W - 2, -1, -1):
+                    hit_j = (fnd & (1 << j)) != 0
+                    k = jnp.where(hit_j, jnp.int32(j), k)
+                    entry = jnp.where(hit_j, es[j], entry)
                 iph = 4 * qp + k
                 return do_match_at(iph, anchor, cnt, missq,
                                    entry & 0xFFFFFF)
 
             def no_hit(_):
-                # tail (< 16 bytes to the limit): single-step to the end
+                # tail (< 12+W bytes to the limit): single-step to the end
                 st2 = (4 * q, anchor, cnt, missq)
                 return jax.lax.while_loop(lambda s: s[0] < limit, body1,
                                           st2)

@@ -125,12 +125,15 @@ def test_level_ladder_coverage_and_validity(rng):
 
     from libzseek_tpu.ops.zstd_encode import level_search_params
 
-    # block A: noise + planted 5-byte matches at short range (gate passes
-    # ml=5 at H=8; only min_match separates levels here)
+    # block A: noise + DENSE planted 5-byte matches at short range (gate
+    # passes ml=5 at H=8; only min_match separates levels here).  Dense
+    # planting keeps the miss accelerator reset/halved at every level, so
+    # the probe stride stays fine-grained and the comparison is robust to
+    # the probe-loop width
     a = rng.integers(0, 256, N, np.uint8).astype(np.uint8)
-    for k in range(40):
-        p0 = 200 + 400 * k
-        a[p0 + 64: p0 + 69] = a[p0: p0 + 5]
+    for k in range(160):
+        p0 = 64 + 96 * k
+        a[p0 + 40: p0 + 45] = a[p0: p0 + 5]
     # block B: zipf-word text (dense overlapping candidates)
     vocab = [rng.integers(97, 123, rng.integers(3, 11), np.uint8).tobytes()
              for _ in range(200)]
