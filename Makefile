@@ -13,13 +13,14 @@ bench: native
 	python bench.py
 
 docs:
-	mkdir -p build/docs && cd build/docs && \
-	python -m pydoc -w libzseek_tpu \
-	  libzseek_tpu.api libzseek_tpu.runtime.writer \
-	  libzseek_tpu.runtime.reader libzseek_tpu.runtime.zstd_codec \
-	  libzseek_tpu.runtime.codec libzseek_tpu.format.seek_table \
-	  libzseek_tpu.parallel.mesh libzseek_tpu.parallel.distributed && \
-	ls *.html
+	mkdir -p build/docs
+	cd build/docs && for m in libzseek_tpu libzseek_tpu.api \
+	  libzseek_tpu.runtime.writer libzseek_tpu.runtime.reader \
+	  libzseek_tpu.runtime.zstd_codec libzseek_tpu.runtime.codec \
+	  libzseek_tpu.format.seek_table libzseek_tpu.parallel.mesh \
+	  libzseek_tpu.parallel.distributed; do \
+	  PYTHONPATH=$(CURDIR) JAX_PLATFORMS=cpu python -m pydoc -w $$m; \
+	done && ls *.html
 
 clean:
 	$(MAKE) -C libzseek_tpu/native clean
