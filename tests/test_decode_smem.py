@@ -96,3 +96,28 @@ def test_device_resident_output(rng):
     outs = decode_frames([fr], [len(raw)], to_device=True)
     arr = np.asarray(outs[0])
     assert arr.tobytes() == raw
+
+
+def test_transcode_chunk_split_large_frame(rng):
+    """A frame larger than ZN_DECODE_CHUNK blocks must split into
+    pipelined chunks (mid-frame splits ride the hint-backed block-local
+    rep invariant) and still decode bit-exact."""
+    os.environ["ZN_DECODE_CHUNK"] = "2"
+    try:
+        raw = mixed_corpus(rng, 768 * 1024).tobytes()
+        codec = ZstdCodec()
+        fr, fh = codec.compress_frames([raw], return_hints=True)
+        out = decode_frames([fr[0]], [len(raw)], hints=[fh[0]])[0]
+        assert out == raw
+    finally:
+        os.environ.pop("ZN_DECODE_CHUNK", None)
+
+
+def test_foreign_long_window_frame(rng):
+    """Stock zstd with a multi-MiB window produces offsets beyond the
+    exec path's 128 KiB ring; the transcode path (28-bit token offsets)
+    or the XLA fallback must still decode it."""
+    blk = rng.integers(0, 256, 400 * 1024, np.uint8).tobytes()
+    raw = blk + bytes(16) + blk   # match at distance ~400 KiB
+    fr = golden.zstd_compress(raw, level=19, strategy=None)
+    assert decode_frames([fr], [len(raw)])[0] == raw

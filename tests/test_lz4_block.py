@@ -118,3 +118,30 @@ def test_tiny_and_empty_blocks():
 
 def test_compress_bound():
     assert lz4_compress_bound(65536) >= 65536 + 16
+
+
+def test_host_decode_rejects_corrupt_blocks():
+    """The native LZ4 host decoder must fail corrupt input (offset past
+    the window start, truncated streams), not produce bytes."""
+    import pytest
+
+    from libzseek_tpu import native
+    from libzseek_tpu.errors import FormatError
+    from libzseek_tpu.runtime.codec import LZ4Codec
+    from libzseek_tpu.testing import golden
+
+    if not native.have_native():
+        pytest.skip("needs libzseek_native.so")
+    data = b"abcdefgh" * 4096
+    codec = LZ4Codec()
+    fr = codec.compress_frames([data])[0]
+    assert codec.decompress_frames([fr], [len(data)])[0] == data
+    # truncate inside the block payload
+    bad = fr[: len(fr) - 12]
+    with pytest.raises(Exception):
+        codec.decompress_frames([bad], [len(data)])
+    # offset reaching before the frame start
+    out = np.zeros(64, np.uint8)
+    tok = bytes([0x12, 0x41, 0x10, 0x00])  # 1 literal, match off=16 at op=1
+    assert native.lz4_block_decode(np.frombuffer(tok, np.uint8),
+                                   out, 0) == -1
