@@ -1020,7 +1020,7 @@ def _try_decode_transcode(plans, hufreg: _HufReg, fsereg: _FseReg,
         return [b"".join(bytes(e[3]) for e in fr) for fr in frames]
 
     # --- chunk and dispatch (all async before the first fetch) ---
-    CHUNK = int(_os4.environ.get("ZN_DECODE_CHUNK", "32"))
+    CHUNK = int(_os4.environ.get("ZN_DECODE_CHUNK", "16"))
     fse_packed = fsereg.packed()
     W, TLS = hufreg.weights_arr()
     W_dev = jnp.asarray(W)
