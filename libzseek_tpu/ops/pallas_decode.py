@@ -122,8 +122,10 @@ def _decode_kernel(lp_ref, sq_ref, dtab_ref, ftab_ref, meta_ref, ctab_ref,
 
     def read_at(ref, W, base_bit, start, nb):
         # bits [start, start+nb) relative to base_bit, nb <= 16; negative
-        # start reads zero-filled from below (underflow caught by the final
-        # pos >= 0 check, same semantics as zstd_decode._read_at)
+        # start reads zero-filled from below — REQUIRED for valid streams,
+        # not just corrupt ones: the last symbols of a backward stream
+        # peek _HUF_PEEK bits past bit 0 (same semantics as
+        # zstd_decode._read_at)
         a = base_bit + start
         a0 = jnp.maximum(a, 0)
         w = u32_at(ref, W, a0 >> 3) >> (a0 & 7).astype(jnp.uint32)
@@ -495,12 +497,16 @@ def _decode_kernel(lp_ref, sq_ref, dtab_ref, ftab_ref, meta_ref, ctab_ref,
     stat_ref[0, 0, 0] = op - base
 
     # stream the block's bytes out of the ring (blocks start word-aligned);
-    # transcode keeps the out window as [literal words][token words]
+    # transcode keeps the out window as [literal words][token words].
+    # The loop bound clamps to the window: a corrupt frame can inflate
+    # the decoded advance past 128 KiB (the stat check still fails it),
+    # and an unclamped dynamic SMEM store would go out of bounds
     def out_copy(w, _):
         out_ref[0, 0, w] = ring_ref[((base >> 2) + w) & M]
         return 0
 
-    jax.lax.fori_loop(0, jnp.where(tc, 0, (op - base + 3) >> 2),
+    jax.lax.fori_loop(0, jnp.where(tc, 0,
+                                   jnp.minimum((op - base + 3) >> 2, LW)),
                       out_copy, 0)
 
 
