@@ -173,20 +173,21 @@ def zir_execute(lits, lit_n: int, toks, n_seq: int,
 def ldm_scan(x: np.ndarray, nblocks: int, bsize: int,
              frame_base: np.ndarray, lens: np.ndarray,
              min_dist: int) -> np.ndarray | None:
-    """Whole-block long-distance match scan over a batch (see zn.cc
-    zn_ldm_scan).  x: concatenated block bytes (nblocks*bsize,);
-    frame_base (nblocks,) int64 frame-start byte offsets (-1 = exclude);
-    lens (nblocks,) int32.  Returns per-block verified distances (0 =
-    none), or None without the native library."""
+    """Long-distance match scan over a batch (see zn.cc zn_ldm_scan).
+    x: concatenated block bytes (nblocks*bsize,); frame_base (nblocks,)
+    int64 frame-start byte offsets (-1 = exclude); lens (nblocks,)
+    int32.  Returns (nblocks, 3) int64 rows [dist, span_start,
+    span_end) — dist 0 = no hit, [0, bsize) = whole-block match —
+    or None without the native library."""
     lib = _load()
     if lib is None or not hasattr(lib, "zn_ldm_scan"):
         return None
     x = np.ascontiguousarray(x, np.uint8)
-    out = np.zeros(nblocks, np.int64)
+    out = np.zeros((nblocks, 3), np.int64)
     lib.zn_ldm_scan(x, nblocks, bsize,
                     np.ascontiguousarray(frame_base, np.int64),
                     np.ascontiguousarray(lens, np.int32),
-                    min_dist, out)
+                    min_dist, out.reshape(-1))
     return out
 
 

@@ -720,19 +720,52 @@ int64_t zn_ldm_scan(const uint8_t* x, int64_t nblocks, int64_t bsize,
       if (off + 33 <= len) h = h * C + x[p + 32] - C32 * x[p];
     }
   }
+  // verify: out_dist is (nblocks, 3) rows [dist, span_start, span_end).
+  // Full-block hits get [d, 0, bsize); otherwise the longest contiguous
+  // matching run at distance d is accepted when it covers >= 1/4 of the
+  // block (partial coverage: the boundary blocks of unaligned repeat
+  // periods), with the head/tail bytes left as literals.
   int64_t hits = 0;
   for (int64_t b = 0; b < nblocks; ++b) {
+    out_dist[3 * b] = 0;
+    out_dist[3 * b + 1] = 0;
+    out_dist[3 * b + 2] = 0;
     if (lens[b] != bsize || frame_base[b] < 0) continue;
     int64_t base = b * bsize;
+    int64_t best_len = bsize / 4, best_d = 0, best_s = 0, best_e = 0;
     for (int k = 0; k < CAND && cand[b * CAND + k]; ++k) {
       int64_t d = cand[b * CAND + k];
-      int64_t src = base - d;
-      if (src < frame_base[b]) continue;
-      if (std::memcmp(x + base, x + src, 256) != 0) continue;
-      if (std::memcmp(x + base, x + src, (size_t)bsize) != 0) continue;
-      out_dist[b] = d;
+      int64_t lo = frame_base[b] + d - base;  // first in-frame src posn
+      if (lo < 0) lo = 0;
+      if (lo >= bsize) continue;
+      if (lo == 0 && std::memcmp(x + base, x + base - d, 256) == 0 &&
+          std::memcmp(x + base, x + base - d, (size_t)bsize) == 0) {
+        best_d = d;
+        best_s = 0;
+        best_e = bsize;
+        break;
+      }
+      // longest matching run [s, e) at distance d
+      int64_t run = 0;
+      for (int64_t i = lo; i < bsize; ++i) {
+        if (x[base + i] == x[base + i - d]) {
+          ++run;
+          if (run > best_len) {
+            best_len = run;
+            best_d = d;
+            best_s = i + 1 - run;
+            best_e = i + 1;
+          }
+        } else {
+          run = 0;
+        }
+      }
+    }
+    if (best_d) {
+      out_dist[3 * b] = best_d;
+      out_dist[3 * b + 1] = best_s;
+      out_dist[3 * b + 2] = best_e;
       ++hits;
-      break;
     }
   }
   return hits;

@@ -635,31 +635,68 @@ def level_search_params(level: int) -> dict:
     return dict(min_match=5, lazy=2, accel_log=14, dual=True)
 
 
-def apply_ldm_override(seqs: dict, dists: np.ndarray,
-                       lengths: np.ndarray) -> dict:
+def apply_ldm_override(seqs: dict, spans: np.ndarray, lengths: np.ndarray,
+                       lit_hist: np.ndarray,
+                       lit_plane: np.ndarray | None = None) -> dict:
     """Replace covered blocks' parse output with the single long-match
-    sequence found by the LDM pre-pass (native zn_ldm_scan): block ==
-    bytes `dist` before it, so it encodes as one (ll=0, ml=len, off=dist)
-    sequence with no literals.  dists (B,) > 0 marks covered blocks.
-    RLE (constant-byte) emission still takes precedence downstream."""
+    sequence found by the LDM pre-pass (native zn_ldm_scan): bytes
+    [s, e) of the block equal the bytes `dist` before them, so the block
+    encodes as one (ll=s, ml=e-s, off=dist) sequence with the head/tail
+    bytes as literals (s=0, e=len for whole-block hits).  spans: (B, 3)
+    [dist, s, e); lit_hist: (B, 256) literal histograms of the covered
+    blocks' remaining literals; lit_plane: corrected literal-plane rows
+    for pipelines that carry one (the XLA entropy path — the fused SMEM
+    chain reads literals from the raw words via the overridden run
+    tables and needs no plane).  RLE (constant-byte) emission still
+    takes precedence downstream."""
+    dists = spans[:, 0]
     cov = dists > 0
     cm = jnp.asarray(cov)
     cap = seqs["ll"].shape[1]
     first = jnp.zeros((1, cap), bool).at[0, 0].set(True)
     m = cm[:, None] & first
     dv = jnp.asarray(dists.astype(np.int32))
+    sv = jnp.asarray(spans[:, 1].astype(np.int32))
+    ev = jnp.asarray(spans[:, 2].astype(np.int32))
     ln = jnp.asarray(lengths.astype(np.int32))
     out = dict(seqs)
-    out["ll"] = jnp.where(cm[:, None], 0, seqs["ll"])
-    out["ml"] = jnp.where(m, ln[:, None],
+    out["ll"] = jnp.where(m, sv[:, None],
+                          jnp.where(cm[:, None], 0, seqs["ll"]))
+    out["ml"] = jnp.where(m, (ev - sv)[:, None],
                           jnp.where(cm[:, None], 0, seqs["ml"]))
     out["offv"] = jnp.where(m, dv[:, None] + 3,
                             jnp.where(cm[:, None], 0, seqs["offv"]))
     out["n_seq"] = jnp.where(cm, 1, seqs["n_seq"])
-    out["last_literals"] = jnp.where(cm, 0, seqs["last_literals"])
-    out["lit_count"] = jnp.where(cm, 0, seqs["lit_count"])
-    out["hist"] = jnp.where(cm[:, None], 0, seqs["hist"])
+    out["last_literals"] = jnp.where(cm, ln - ev, seqs["last_literals"])
+    out["lit_count"] = jnp.where(cm, sv + (ln - ev), seqs["lit_count"])
+    out["hist"] = jnp.where(cm[:, None], jnp.asarray(
+        lit_hist.astype(np.int32)), seqs["hist"])
+    if lit_plane is not None and "literals" in seqs:
+        out["literals"] = jnp.where(cm[:, None], jnp.asarray(lit_plane),
+                                    seqs["literals"])
     return out
+
+
+def ldm_literal_stats(spans: np.ndarray, blocks, Bp: int, N: int,
+                      need_plane: bool):
+    """Host-side literal stats for LDM-covered blocks: (Bp, 3) padded
+    spans, per-block literal histograms, and (optionally) corrected
+    literal-plane rows holding [block[:s] || block[e:]]."""
+    spans_p = np.zeros((Bp, 3), np.int64)
+    spans_p[: len(spans)] = spans
+    hist = np.zeros((Bp, 256), np.int64)
+    plane = np.zeros((Bp, N), np.uint8) if need_plane else None
+    for i in range(len(spans)):
+        d, s, e = spans[i]
+        if d <= 0:
+            continue
+        blk = np.asarray(blocks[i])
+        lits = np.concatenate([blk[:s], blk[e:]])
+        if len(lits):
+            hist[i] = np.bincount(lits, minlength=256)
+            if plane is not None:
+                plane[i, : len(lits)] = lits
+    return spans_p, hist, plane
 
 
 def zstd_sequences_linked(x2: jnp.ndarray, lengths: jnp.ndarray,

@@ -269,6 +269,7 @@ class ZstdCodec:
             for i in range(B, Bp):
                 min_abs[i] = (i + 1) * N
             from libzseek_tpu.ops.zstd_encode import (apply_ldm_override,
+                                                      ldm_literal_stats,
                                                       zstd_sequences_linked)
             # long-distance pre-pass (host, native): whole-block matches
             # beyond the linked parse's 256 KiB window become single
@@ -276,15 +277,15 @@ class ZstdCodec:
             # NOTE: covered blocks still run the (cheap, long-match-
             # dominated) parse so the persistent hash table stays warm for
             # the blocks that follow; only their output is replaced
-            ldm_dists = None
+            ldm = None
             lens_parse = None
             if _os.environ.get("ZN_LDM", "auto") != "off":
                 from libzseek_tpu import native as _native
                 d = _native.ldm_scan(X[1: B + 1].reshape(-1), B, N,
                                      frame_base[:B], lens[:B], 1 << 17)
-                if d is not None and (d > 0).any():
-                    ldm_dists = np.zeros(Bp, np.int64)
-                    ldm_dists[:B] = d
+                if d is not None and (d[:, 0] > 0).any():
+                    ldm = ldm_literal_stats(d, blocks, Bp, N,
+                                            need_plane=False)
             if self._devices is not None:
                 # commit the batch to its worker chip; every downstream op
                 # (and all small uncommitted operands) follows the data
@@ -299,8 +300,8 @@ class ZstdCodec:
                                          level=self.level,
                                          parse_lengths=lens_parse,
                                          interpret=interp)
-            if ldm_dists is not None:
-                seqs = apply_ldm_override(seqs, ldm_dists, lens)
+            if ldm is not None:
+                seqs = apply_ldm_override(seqs, ldm[0], lens, ldm[1])
             Xd = jax.lax.slice_in_dim(X2d, 1, Bp + 1, axis=0)
             if self.entropy in ("auto", "smem"):
                 staged = self._dispatch_chain(seqs, lens[:B], Xd, lens,
@@ -326,14 +327,14 @@ class ZstdCodec:
             if first:
                 fb = i * N
             frame_base[i] = fb
-        ldm_dists = None
+        ldm = None
         if _os.environ.get("ZN_LDM", "auto") != "off":
             from libzseek_tpu import native as _native
+            from libzseek_tpu.ops.zstd_encode import ldm_literal_stats
             d = _native.ldm_scan(X[:B].reshape(-1), B, N,
                                  frame_base[:B], lens[:B], 1 << 17)
-            if d is not None and (d > 0).any():
-                ldm_dists = np.zeros(Bp, np.int64)
-                ldm_dists[:B] = d
+            if d is not None and (d[:, 0] > 0).any():
+                ldm = ldm_literal_stats(d, blocks, Bp, N, need_plane=True)
         Xd = jnp.asarray(X)
         if parser == "hash":
             if self.entropy in ("auto", "smem"):
@@ -347,9 +348,9 @@ class ZstdCodec:
             seqs = zstd_sequences(Xd, jnp.asarray(lens),
                                   seg_size=self.seg_size,
                                   max_len=self.max_len)
-        if ldm_dists is not None:
+        if ldm is not None:
             from libzseek_tpu.ops.zstd_encode import apply_ldm_override
-            seqs = apply_ldm_override(seqs, ldm_dists, lens)
+            seqs = apply_ldm_override(seqs, ldm[0], lens, ldm[1], ldm[2])
         packed = self._pack_small(seqs)
         if _os.environ.get("ZN_PROFILE"):
             print(f"[ZN_PROFILE dispatch] {_time.time() - _t0:.3f}s",
