@@ -745,6 +745,11 @@ int64_t zn_ldm_scan(const uint8_t* x, int64_t nblocks, int64_t bsize,
         best_e = bsize;
         break;
       }
+      // PARTIAL spans only for distances beyond the block parse's whole
+      // window (prev block + current = 2*bsize): closer matches are
+      // found fine-grained by the parse itself, and replacing its output
+      // with span-head/tail literals would LOSE ratio
+      if (d < 2 * bsize) continue;
       // longest matching run [s, e) at distance d
       int64_t run = 0;
       for (int64_t i = lo; i < bsize; ++i) {

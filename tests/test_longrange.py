@@ -79,3 +79,22 @@ def test_ldm_scan_no_false_positives(rng):
     d = native.ldm_scan(x, B, N, np.zeros(B, np.int64),
                         np.full(B, N, np.int32), 1 << 17)
     assert (d == 0).all()
+
+
+def test_partial_spans_never_beat_the_parse(rng):
+    """Partial-span coverage must not replace parse output for distances
+    the block parse can reach itself (d < 2 blocks): a periodic corpus
+    with period ~70 KiB (multi-period distances land inside the parse
+    window) must compress no worse with the LDM enabled."""
+    import os
+
+    piece = rng.integers(32, 127, 70_000, np.uint8).tobytes()
+    raw = (piece * 16)[: 1 << 20]
+    codec_on = ZstdCodec()
+    size_on = len(codec_on.compress_frames([raw])[0])
+    os.environ["ZN_LDM"] = "off"
+    try:
+        size_off = len(ZstdCodec().compress_frames([raw])[0])
+    finally:
+        os.environ.pop("ZN_LDM", None)
+    assert size_on <= size_off * 1.02 + 64, (size_on, size_off)
