@@ -61,20 +61,19 @@ def main():
     warm_mb = int(os.environ.get("BENCH_WARMUP_MB", str(total_mb)))
     reps = int(os.environ.get("BENCH_REPS", "2"))
     run(warm_mb)  # compile warm-up (cached afterwards)
-    # best-of-N headline: the tunneled link adds +-30% run-to-run noise
-    # that has nothing to do with the pipeline under test; mean and the
-    # raw reps ride along so rounds stay comparable (VERDICT r2 weak #7)
+    # mean-of-N headline (VERDICT r3 #6); best and the raw reps ride along
+    # so rounds stay comparable despite the tunneled link's +-30% noise
     runs = []
     for _ in range(max(1, reps)):
         m, ratio, frames, dt = run(total_mb)
         runs.append(m)
-    mibs = max(runs)
+    mibs = sum(runs) / len(runs)
     print(json.dumps({
         "metric": "zstd_l3_compress_throughput",
         "value": round(mibs, 2),
         "unit": "MiB/s",
         "vs_baseline": round(mibs / BASELINE_MIBS, 4),
-        "mean": round(sum(runs) / len(runs), 2),
+        "best": round(max(runs), 2),
         "reps": [round(r, 2) for r in runs],
     }))
 

@@ -72,32 +72,16 @@ class CompressionParams:
     lz4: LZ4Params | None = None
 
 
-def _as_io(f):
-    if isinstance(f, (str, Path)):
-        raise TypeError("pass a file object or use open_writer/open_reader")
-    return f
-
-
 def open_writer(path_or_file, codec: str = "zstd", *, level: int | None = None,
                 min_frame_size: int = DEFAULT_MIN_FRAME_SIZE,
                 batch_frames: int = 8, workers: int = 1,
                 checksums: bool = False) -> Writer:
     if isinstance(path_or_file, (str, Path)):
         f = open(path_or_file, "wb")
-        sink = FileIO(f)
-        w = Writer(sink, codec, level=level, min_frame_size=min_frame_size,
-                   batch_frames=batch_frames, workers=workers,
-                   checksums=checksums)
-        w._owned_file = f  # closed by Writer.close via __exit__ chain
-        _orig_close = w.close
-
-        def close():
-            st = _orig_close()
-            f.close()
-            return st
-
-        w.close = close
-        return w
+        return Writer(FileIO(f), codec, level=level,
+                      min_frame_size=min_frame_size,
+                      batch_frames=batch_frames, workers=workers,
+                      checksums=checksums, owned_file=f)
     sink = path_or_file if hasattr(path_or_file, "pread") or hasattr(path_or_file, "write") else FileIO(path_or_file)
     if isinstance(path_or_file, io.IOBase):
         sink = FileIO(path_or_file)

@@ -45,12 +45,15 @@ class Writer:
     def __init__(self, sink, codec="zstd", *, level: int | None = None,
                  min_frame_size: int = DEFAULT_MIN_FRAME_SIZE,
                  batch_frames: int = 8, workers: int = 1,
-                 checksums: bool = False):
+                 checksums: bool = False, owned_file=None):
         if min_frame_size <= 0:
             raise ParameterError("min_frame_size must be positive")
         if not hasattr(sink, "write"):
             sink = zio.CallbackWriteSink(sink)
         self._sink = sink
+        # file handle opened on the Writer's behalf (open_writer with a
+        # path); closed by close() after the seek table lands
+        self._owned_file = owned_file
         self._codec = _make_codec(codec, level, workers)
         self._min_frame_size = min_frame_size
         self._batch_frames = max(1, batch_frames)
@@ -119,6 +122,8 @@ class Writer:
         self._sink.write(self._framelog.serialize())
         self._closed = True
         self._refresh_stats()
+        if self._owned_file is not None:
+            self._owned_file.close()
         return self._stats
 
     def stats(self) -> WriterStats:
