@@ -676,8 +676,15 @@ int64_t zn_ldm_scan(const uint8_t* x, int64_t nblocks, int64_t bsize,
   const int LOG = 20;
   const uint64_t MUL = 0x9E3779B185EBCA87ull;
   std::vector<int64_t> table((size_t)1 << LOG, -1);
+  // second, always-overwrite table: surfaces SMALL distances (below
+  // min_dist) for whole-block coverage of short-period content.  The
+  // device parse would find those matches itself, but each one costs a
+  // ~block-length scalar extend on the core; covering the block here
+  // (and skipping its parse) emits the identical single sequence free.
+  std::vector<int64_t> table2((size_t)1 << LOG, -1);
   const int CAND = 4;
   std::vector<int64_t> cand((size_t)nblocks * CAND, 0);
+  std::vector<int64_t> cand2((size_t)nblocks, 0);
   // rolling polynomial hash over a 32-byte window; CONTENT-DEFINED
   // anchors (hash-selected 1-in-64 positions) so repeated content anchors
   // at the same content offsets regardless of block alignment — a fixed
@@ -703,6 +710,13 @@ int64_t zn_ldm_scan(const uint8_t* x, int64_t nblocks, int64_t bsize,
         // refreshing the bucket and multi-period distances (the ones the
         // block parse cannot see) never surface
         if (c < 0 || p - c >= min_dist) table[bucket] = p;
+        int64_t c2 = table2[bucket];
+        table2[bucket] = p;
+        if (c2 >= 0 && frame_base[b] >= 0 && cand2[b] == 0) {
+          int64_t d2 = p - c2;
+          if (d2 >= 1 && d2 < min_dist && c2 >= frame_base[b])
+            cand2[b] = d2;
+        }
         if (c >= 0 && frame_base[b] >= 0) {
           int64_t d = p - c;
           if (d >= min_dist && d <= ((int64_t)1 << 28) - 1 &&
@@ -730,9 +744,28 @@ int64_t zn_ldm_scan(const uint8_t* x, int64_t nblocks, int64_t bsize,
     out_dist[3 * b] = 0;
     out_dist[3 * b + 1] = 0;
     out_dist[3 * b + 2] = 0;
-    if (lens[b] != bsize || frame_base[b] < 0) continue;
+    if (frame_base[b] < 0) continue;
     int64_t base = b * bsize;
+    int64_t blen = lens[b];
     int64_t best_len = bsize / 4, best_d = 0, best_s = 0, best_e = 0;
+    // small-distance whole-block coverage (short-period content): the
+    // parse would emit the same single sequence, at ~block-length scalar
+    // extend cost on the device.  Also applies to a frame's shorter
+    // FINAL block (lens < bsize), which the distance-gated path below
+    // never covers.
+    if (cand2[b] > 0 && blen >= 512) {
+      int64_t d = cand2[b];
+      int64_t lo = frame_base[b] + d - base;
+      if (lo <= 0 && std::memcmp(x + base, x + base - d, 256) == 0 &&
+          std::memcmp(x + base, x + base - d, (size_t)blen) == 0) {
+        out_dist[3 * b] = d;
+        out_dist[3 * b + 1] = 0;
+        out_dist[3 * b + 2] = blen;
+        ++hits;
+        continue;
+      }
+    }
+    if (blen != bsize) continue;
     for (int k = 0; k < CAND && cand[b * CAND + k]; ++k) {
       int64_t d = cand[b * CAND + k];
       int64_t lo = frame_base[b] + d - base;  // first in-frame src posn

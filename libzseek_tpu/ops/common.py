@@ -141,6 +141,31 @@ def hist256(x: jnp.ndarray, mask: jnp.ndarray, chunk: int = 16384) -> jnp.ndarra
     return sum(parts).reshape(B, 256).astype(jnp.int32)
 
 
+def hist_nk(vals: jnp.ndarray, mask: jnp.ndarray, nbins: int,
+            chunk: int = 16384) -> jnp.ndarray:
+    """Masked per-row histogram over values in [0, nbins), nbins a square
+    power of two (e.g. 1024): same nibble-style MXU decomposition as
+    hist256 with sqrt(nbins)-wide one-hot planes.  hist[hi*W+lo] where
+    W = sqrt(nbins), hi = v // W, lo = v % W."""
+    B, N = vals.shape
+    W = 1 << ((nbins.bit_length() - 1) // 2)
+    assert W * W == nbins, nbins
+    vi = vals.astype(jnp.int32)
+    hw = jnp.arange(W, dtype=jnp.int32)
+    parts = []
+    for s in range(0, N, chunk):
+        vc = vi[:, s: s + chunk]
+        mc = mask[:, s: s + chunk]
+        a = ((vc[:, :, None] // W) == hw[None, None, :]) & mc[:, :, None]
+        b = (vc[:, :, None] % W) == hw[None, None, :]
+        h = jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        parts.append(h)
+    return sum(parts).reshape(B, nbins).astype(jnp.int32)
+
+
 def resolve_copy_chains(src: jnp.ndarray, rounds: int) -> jnp.ndarray:
     """Pointer-double src indices until fixpoint: src[i] <- src[src[i]].
 

@@ -216,12 +216,20 @@ def unpack_weights(packed: np.ndarray) -> np.ndarray:
 def plan_blocks(hist: jnp.ndarray, lit_count: jnp.ndarray,
                 n_seq: jnp.ndarray, const: jnp.ndarray, lens: jnp.ndarray,
                 mode_huf: int, mode_huf1: int, mode_rawlit: int,
-                mode_seq: int):
+                mode_seq: int, hist_q: jnp.ndarray | None = None):
     """Full per-block literal planning on device.
 
     Returns (mode_code (B,) int32 per M_*, mode_bits (B,) int32 for the
     entropy kernel, codes_packed (B, 256) int32 = (value << 4) | nbits,
-    weights_packed (B, 32) int32, rle_byte (B,) int32).
+    weights_packed (B, 32) int32, rle_byte (B,) int32, sizes4 (B, 4)
+    int32 exact per-stream byte sizes).
+
+    hist_q (B, 4, 256): per-Huffman-stream literal histograms
+    (ops/zstd_encode._hist_quarters).  They make the per-stream encoded
+    sizes EXACT — sum over the stream's literals of its code length, plus
+    one sentinel bit, rounded to bytes — which is what lets the SMEM
+    entropy kernel emit all four streams concurrently at precomputed
+    offsets.  Without hist_q, sizes4 is zero (legacy sequential layout).
 
     Mirrors ZstdCodec._decide_modes' conservative (exact=False) logic:
     mode decisions must be final before the entropy kernel runs, so the
@@ -249,9 +257,22 @@ def plan_blocks(hist: jnp.ndarray, lit_count: jnp.ndarray,
 
     one = lc < 256
     jump = jnp.where(one, 0, 6)
-    pad = jnp.where(one, 2, 8)
     est_bits = jnp.sum(hist * lengths, axis=1)
-    est_payload = est_bits // 8 + tree_bound + jump + pad
+    if hist_q is not None:
+        bits_q = jnp.sum(hist_q * lengths[:, None, :], axis=2)  # (B, 4)
+        sz_q = (bits_q + 1 + 7) >> 3
+        sz_one = (est_bits + 1 + 7) >> 3
+        sizes4 = jnp.where(
+            one[:, None],
+            jnp.stack([sz_one, jnp.zeros_like(sz_one),
+                       jnp.zeros_like(sz_one), jnp.zeros_like(sz_one)],
+                      axis=1),
+            sz_q)
+        est_payload = jnp.sum(sizes4, axis=1) + tree_bound + jump
+    else:
+        pad = jnp.where(one, 2, 8)
+        sizes4 = jnp.zeros((B, 4), jnp.int32)
+        est_payload = est_bits // 8 + tree_bound + jump + pad
     raw_hdr = jnp.where(lc < 32, 1, jnp.where(lc < 4096, 2, 3))
     huf_hdr = jnp.where((lc <= 1023) & (est_payload <= 1023), 3,
                         jnp.where((lc <= 16383) & (est_payload <= 16383),
@@ -277,4 +298,6 @@ def plan_blocks(hist: jnp.ndarray, lit_count: jnp.ndarray,
     # padding rows (blen == 0) emit nothing
     mb = jnp.where(blen == 0, 0, mb)
     mode = jnp.where(blen == 0, M_SKIP, mode)
-    return mode, mb, codes_packed, weights_packed, rle_byte
+    sizes4 = jnp.where(((mode == M_HUF) | (mode == M_HUF1))[:, None],
+                       sizes4, 0)
+    return mode, mb, codes_packed, weights_packed, rle_byte, sizes4

@@ -41,6 +41,14 @@ MODE_RAWLIT = 2   # emit the literal bytes verbatim (forward copy)
 MODE_SEQ = 4      # emit the FSE sequence stream
 MODE_HUF1 = 8     # with MODE_HUF: single-stream layout (small literal
                   # sets; saves the 6-byte jump table like HUF_compress1X)
+# sequence-table modes (ops/fse_plan.py decides; the host serializes the
+# matching compression-modes byte + table descriptions)
+MODE_LL_RLE = 16   # LL stream RLE: no state bits, no flush
+MODE_OF_RLE = 32
+MODE_ML_RLE = 64
+MODE_LL_FSE = 128  # LL stream FSE_Compressed: states from the per-block
+MODE_OF_FSE = 256  # ctab pack instead of the predefined constants
+MODE_ML_FSE = 512
 
 LIT_ANCHOR_INTERVAL = 512   # literals per stream anchor (pow2)
 SEQ_ANCHOR_INTERVAL = 128   # sequences per anchor (pow2)
@@ -82,7 +90,7 @@ def _build_tabs() -> tuple[np.ndarray, dict[str, int]]:
 _TABS, _OFF = _build_tabs()
 
 
-def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs,
+def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs, ctab,
                     lit_o, seq_o, osz, lanch, sanch, run_pos, run_cum,
                     *, S: int, LITW: int, SEQW: int, LMAXA: int, SMAXA: int):
     O = _OFF
@@ -168,6 +176,13 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs,
             ref[0, 0, w] = buf
 
     # --- Huffman literal payload: 4-stream, or 1-stream (MODE_HUF1) ---
+    # Emission is SEQUENTIAL per stream: the push chain pipelines across
+    # iterations and the loop is issue-bound (~1.1 ns/op measured), so
+    # interleaving the four streams only added masking ops (tried in r4,
+    # 19.9 -> 23-43 ms).  The win is fewer ops per literal instead: each
+    # run chunk aligns to a word first, so the hot quad loop's 4-literal
+    # load is ONE aligned SMEM word instead of an unaligned pair + shift
+    # construction.
     @pl.when((mode & MODE_HUF) != 0)
     def _():
         one = (mode & MODE_HUF1) != 0
@@ -186,11 +201,29 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs,
                           s4=s4):
                 buf0, nb0, w0 = stream_open(lit_o, byte_base)
 
+                def pair(st, pa, pb):
+                    # one push of two codes (<= 22 bits)
+                    buf, nb, w, sb = st
+                    c1 = pa & 15
+                    v = (pa >> 4).astype(jnp.uint32) | \
+                        ((pb >> 4).astype(jnp.uint32)
+                         << c1.astype(jnp.uint32))
+                    cb = c1 + (pb & 15)
+                    buf, nb, w = push(lit_o, (buf, nb, w), v, cb)
+                    return buf, nb, w, sb + cb
+
+                def one_lit(st, i):
+                    buf, nb, w, sb = st
+                    p = codes[0, 0, byte(i)]
+                    buf, nb, w = push(
+                        lit_o, (buf, nb, w),
+                        (p >> 4).astype(jnp.uint32), p & 15)
+                    return buf, nb, w, sb + (p & 15)
+
                 # run-chunked walk (descending global literal index g):
-                # resolve the covering run once per chunk instead of once
-                # per literal, stop chunks at anchor boundaries so the
-                # inner loop is branch-free, and push literal codes in
-                # PAIRS (two codes are <= 22 bits, one push call)
+                # resolve the covering run once per chunk, stop chunks at
+                # anchor boundaries, and emit the chunk as
+                # align-singles + ALIGNED quads + tail singles
                 def chunk_body(state):
                     g, r, buf, nb, w, sbits = state
                     r = jax.lax.while_loop(
@@ -200,51 +233,35 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs,
                     lo = jnp.maximum(run_cum[r], gbase + na)
                     cntc = g - lo + 1
                     ipos_hi = run_pos[r] + (g - run_cum[r])
+                    # singles until the quad's low byte is word-aligned
+                    ha = jnp.minimum((ipos_hi + 1) & 3, cntc)
 
-                    def pair(st, pa, pb, on):
-                        # one push of two codes (<= 22 bits); on=False
-                        # degrades to a 0-bit no-op push
-                        buf, nb, w, sb = st
-                        c1 = pa & 15
-                        v = (pa >> 4).astype(jnp.uint32) | \
-                            ((pb >> 4).astype(jnp.uint32)
-                             << c1.astype(jnp.uint32))
-                        cb = jnp.where(on, c1 + (pb & 15), 0)
-                        v = jnp.where(on, v, jnp.uint32(0))
-                        buf, nb, w = push(lit_o, (buf, nb, w), v, cb)
-                        return buf, nb, w, sb + cb
+                    def s_head(t, st):
+                        return one_lit(st, ipos_hi - t)
+
+                    st = jax.lax.fori_loop(0, ha, s_head,
+                                           (buf, nb, w, sbits))
+                    nqd = (cntc - ha) >> 2
+                    q0 = (ipos_hi - ha - 3) >> 2
 
                     def quad_body(t, st):
-                        # 4 literals per iteration: one unaligned 32-bit
-                        # load yields all four bytes (descending order)
-                        v4 = w32l(ipos_hi - 4 * t - 3)
+                        v4 = words[0, 0, q0 - t]
                         p3 = codes[0, 0, (v4 >> 24) & 0xFF]
                         p2 = codes[0, 0, (v4 >> 16) & 0xFF]
                         p1 = codes[0, 0, (v4 >> 8) & 0xFF]
                         p0 = codes[0, 0, v4 & 0xFF]
-                        st = pair(st, p3, p2, True)
-                        return pair(st, p1, p0, True)
+                        st = pair(st, p3, p2)
+                        return pair(st, p1, p0)
 
-                    buf, nb, w, sbits = jax.lax.fori_loop(
-                        0, cntc >> 2, quad_body, (buf, nb, w, sbits))
-                    # 0-3 remaining literals
-                    rem = cntc & 3
-                    bp = ipos_hi - (cntc & ~3)
-                    hp = rem >= 2
-                    pa = codes[0, 0, byte(jnp.where(hp, bp, ipos_hi))]
-                    pb = codes[0, 0, byte(jnp.where(hp, bp - 1, ipos_hi))]
-                    buf, nb, w, sbits = pair(
-                        (buf, nb, w, sbits), pa, pb, hp)
-                    ho = (rem & 1) != 0
-                    pt = codes[0, 0, byte(jnp.where(
-                        ho, bp - 2 * (rem >> 1), ipos_hi))]
-                    cb = jnp.where(ho, pt & 15, 0)
-                    buf, nb, w = push(
-                        lit_o, (buf, nb, w),
-                        jnp.where(ho, (pt >> 4).astype(jnp.uint32),
-                                  jnp.uint32(0)), cb)
-                    sbits = sbits + cb
+                    st = jax.lax.fori_loop(0, nqd, quad_body, st)
+                    rem = cntc - ha - 4 * nqd
+                    b2 = ipos_hi - ha - 4 * nqd
 
+                    def s_tail(t, st):
+                        return one_lit(st, b2 - t)
+
+                    buf, nb, w, sbits = jax.lax.fori_loop(0, rem, s_tail,
+                                                          st)
                     k_lo = lo - gbase
 
                     @pl.when((k_lo > 0) &
@@ -272,7 +289,10 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs,
             osz[0, 0, s4] = sz
             byte_base = byte_base + sz
 
-    # --- raw literal copy (forward order) ---
+    # --- raw literal copy (forward order): word-at-a-time.  The old
+    # per-byte read-modify-write serialized 4 dependent SMEM RMWs per
+    # output word; here the head/tail bytes RMW (run edges share words
+    # with neighboring runs) and the interior copies whole words.
     @pl.when((mode & MODE_RAWLIT) != 0)
     def _():
         def run_copy(r, _):
@@ -289,7 +309,18 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs,
                     (b << sh)
                 return 0
 
-            jax.lax.fori_loop(0, rl, cb, 0)
+            head = jnp.minimum(rl, (-base_out) & 3)
+            jax.lax.fori_loop(0, head, cb, 0)
+            nw = (rl - head) >> 2
+            dw0 = (base_out + head) >> 2
+
+            def cw(k, _):
+                lit_o[0, 0, dw0 + k] = w32l(
+                    base_in + head + 4 * k).astype(jnp.uint32)
+                return 0
+
+            jax.lax.fori_loop(0, nw, cw, 0)
+            jax.lax.fori_loop(head + 4 * nw, rl, cb, 0)
             return 0
 
         jax.lax.fori_loop(0, n + 1, run_copy, 0)
@@ -306,18 +337,25 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs,
                 v = jnp.where(c, v >> t, v)
             return e
 
+        # sequence-code tables come from the PER-BLOCK ctab pack (laid
+        # out exactly like the predefined constants' first segments); the
+        # planner fills predefined content for streams not FSE-coded
         def enc_sym(state, sym, st_off, dnb_off, dfs_off):
-            nb = (state + tabs[0, 0, dnb_off + sym]) >> 16
+            nb = (state + ctab[0, 0, dnb_off + sym]) >> 16
             bits_v = (state & ((1 << nb) - 1)).astype(jnp.uint32)
-            new = tabs[0, 0, st_off + (state >> nb) +
-                       tabs[0, 0, dfs_off + sym]]
+            new = ctab[0, 0, st_off + (state >> nb) +
+                       ctab[0, 0, dfs_off + sym]]
             return new, bits_v, nb
 
         def init_state(sym, st_off, dnb_off, dfs_off):
-            dnb = tabs[0, 0, dnb_off + sym]
+            dnb = ctab[0, 0, dnb_off + sym]
             nb = (dnb + (1 << 15)) >> 16
             v = (nb << 16) - dnb
-            return tabs[0, 0, st_off + (v >> nb) + tabs[0, 0, dfs_off + sym]]
+            return ctab[0, 0, st_off + (v >> nb) + ctab[0, 0, dfs_off + sym]]
+
+        rle_ll = (mode & MODE_LL_RLE) != 0
+        rle_of = (mode & MODE_OF_RLE) != 0
+        rle_ml = (mode & MODE_ML_RLE) != 0
 
         def codes_of(ll_v, ml_v, of_v):
             llc = jnp.where(ll_v > 63, exp_of(ll_v) + 19,
@@ -353,9 +391,13 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs,
                              init_state(llc, O["ll_st"], O["ll_dnb"],
                                         O["ll_dfs"]), n_ll)
             z = jnp.int32(0)
-            nb_of = jnp.where(first, z, nb_of)
-            nb_ml = jnp.where(first, z, nb_ml)
-            nb_ll = jnp.where(first, z, nb_ll)
+            nb_of = jnp.where(first | rle_of, z, nb_of)
+            nb_ml = jnp.where(first | rle_ml, z, nb_ml)
+            nb_ll = jnp.where(first | rle_ll, z, nb_ll)
+            zu = jnp.uint32(0)
+            bv_of = jnp.where(rle_of, zu, bv_of)
+            bv_ml = jnp.where(rle_ml, zu, bv_ml)
+            bv_ll = jnp.where(rle_ll, zu, bv_ll)
             llb = tabs[0, 0, O["ll_bits"] + llc]
             llv = (ll_v - tabs[0, 0, O["ll_base"] + llc]).astype(jnp.uint32)
             mlb = tabs[0, 0, O["ml_bits"] + mlc]
@@ -383,15 +425,22 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs,
         t, s_ll, s_of, s_ml, bst = jax.lax.while_loop(
             lambda st: st[0] < n, seq_body,
             (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0), bst0))
-        bst = push(seq_o, bst, (s_ml & ((1 << zf.ML_DEFAULT_LOG) - 1)
-                                ).astype(jnp.uint32),
-                   jnp.int32(zf.ML_DEFAULT_LOG))
-        bst = push(seq_o, bst, (s_of & ((1 << zf.OF_DEFAULT_LOG) - 1)
-                                ).astype(jnp.uint32),
-                   jnp.int32(zf.OF_DEFAULT_LOG))
-        bst = push(seq_o, bst, (s_ll & ((1 << zf.LL_DEFAULT_LOG) - 1)
-                                ).astype(jnp.uint32),
-                   jnp.int32(zf.LL_DEFAULT_LOG))
+        zu = jnp.uint32(0)
+        bst = push(seq_o, bst,
+                   jnp.where(rle_ml, zu,
+                             (s_ml & ((1 << zf.ML_DEFAULT_LOG) - 1)
+                              ).astype(jnp.uint32)),
+                   jnp.where(rle_ml, 0, zf.ML_DEFAULT_LOG))
+        bst = push(seq_o, bst,
+                   jnp.where(rle_of, zu,
+                             (s_of & ((1 << zf.OF_DEFAULT_LOG) - 1)
+                              ).astype(jnp.uint32)),
+                   jnp.where(rle_of, 0, zf.OF_DEFAULT_LOG))
+        bst = push(seq_o, bst,
+                   jnp.where(rle_ll, zu,
+                             (s_ll & ((1 << zf.LL_DEFAULT_LOG) - 1)
+                              ).astype(jnp.uint32)),
+                   jnp.where(rle_ll, 0, zf.LL_DEFAULT_LOG))
         total = bst[1] + (bst[2] << 5) + 1  # + sentinel
         stream_close(seq_o, bst)
         osz[0, 0, 4] = (total + 7) >> 3
@@ -412,13 +461,16 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs,
 def entropy_emit_smem(x: jnp.ndarray, sll: jnp.ndarray, sml: jnp.ndarray,
                       soff: jnp.ndarray, meta: jnp.ndarray,
                       codes: jnp.ndarray, S: int, lit_cap: int, seq_cap: int,
+                      ctabs: jnp.ndarray | None = None,
                       interpret: bool = False):
     """Emit final entropy-coded streams per block row.
 
     x: (B, N) uint8 raw block bytes (N multiple of 4); sll/sml/soff:
-    (B, S) int32 post-gate sequences; meta: (B, 4) int32 = (block_len,
-    lit_count, n_seq, mode bits); codes: (B, 256) int32 packed Huffman
-    codes ((value << 4) | nbits).
+    (B, S) int32 post-gate sequences; meta: (B, 8) int32 = (block_len,
+    lit_count, n_seq, mode bits, stream sizes 0-3); codes: (B, 256) int32
+    packed Huffman codes ((value << 4) | nbits).  The per-stream byte
+    sizes (huffman_plan.plan_blocks with hist_q) position the 4 lockstep
+    literal streams; they MUST equal the emitted sizes exactly.
 
     Returns (lit_words (B, lit_cap//4) uint32, seq_words (B, seq_cap//4)
     uint32, osz (B, 8) int32 [4 stream sizes, seq_bytes, ...],
@@ -446,12 +498,19 @@ def entropy_emit_smem(x: jnp.ndarray, sll: jnp.ndarray, sml: jnp.ndarray,
                             (len(shape) - 1))
 
     tabs = jnp.asarray(_TABS)[None, None, :]
+    # per-block sequence-code tables (ops/fse_plan.py); default =
+    # predefined content broadcast per row
+    from libzseek_tpu.ops.fse_plan import CTAB_WIDTH
+    if ctabs is None:
+        ctabs = jnp.broadcast_to(jnp.asarray(_TABS[:CTAB_WIDTH])[None, :],
+                                 (B, CTAB_WIDTH))
     lit_w, seq_w, osz, lanch, sanch = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[smem((B, 1, NW)), smem((B, 1, S)), smem((B, 1, S)),
-                  smem((B, 1, S)), smem((B, 1, 4)), smem((B, 1, 256)),
-                  smem((1, 1, _TABS.shape[0]), const=True)],
+                  smem((B, 1, S)), smem((B, 1, 8)), smem((B, 1, 256)),
+                  smem((1, 1, _TABS.shape[0]), const=True),
+                  smem((B, 1, CTAB_WIDTH))],
         out_specs=[smem((B, 1, LITW)), smem((B, 1, SEQW)), smem((B, 1, 8)),
                    smem((B, 1, 4 * LMAXA)), smem((B, 1, 5 * SMAXA))],
         out_shape=[
@@ -465,8 +524,9 @@ def entropy_emit_smem(x: jnp.ndarray, sll: jnp.ndarray, sml: jnp.ndarray,
                         pltpu.SMEM((S + 1,), jnp.int32)],
         interpret=interpret,
     )(words.reshape(B, 1, NW), sll.reshape(B, 1, S), sml.reshape(B, 1, S),
-      soff.reshape(B, 1, S), meta.reshape(B, 1, 4),
-      codes.reshape(B, 1, 256), tabs)
+      soff.reshape(B, 1, S), meta.reshape(B, 1, 8),
+      codes.reshape(B, 1, 256), tabs,
+      ctabs.astype(jnp.int32).reshape(B, 1, CTAB_WIDTH))
     return (lit_w[:, 0], seq_w[:, 0], osz[:, 0],
             lanch[:, 0].reshape(B, 4, LMAXA),
             sanch[:, 0].reshape(B, 5, SMAXA))

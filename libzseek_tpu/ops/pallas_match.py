@@ -263,11 +263,30 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
         # source may start in the previous block (cross-block match); the
         # probe side (ip) is always in the current block
         lim = block_bytes + blen
+        # gallop: GX bytes per iteration while every word matches.  The
+        # 4-byte loop's compare->branch chain serializes at SMEM load
+        # latency (~27 ns per 4 bytes), and long matches (zero runs,
+        # periodic data) walk megabytes through it; the wide step's loads
+        # pipeline, so the per-iteration cost grows far slower than GX.
+        GX = 64
+
+        def gcond(l):
+            # & does not short-circuit: clamp the probe base so the loads
+            # stay in-array even on the final (failing-bound) evaluation;
+            # the source side b >= 0 because dist < block_bytes <= ip
+            a = jnp.minimum(ip + l, jnp.int32(4 * WW - GX))
+            b = jnp.maximum(a - (ip - cand), 0)
+            m = w32_c(a) == w32_c(b)
+            for t in range(1, GX // 4):
+                m = m & (w32_c(a + 4 * t) == w32_c(b + 4 * t))
+            return (ip + l + GX <= lim) & m
+
+        l = jax.lax.while_loop(gcond, lambda l: l + GX, jnp.int32(4))
 
         def wcond(l):
             return (ip + l + 4 <= lim) & (w32_c(ip + l) == w32(cand + l))
 
-        l = jax.lax.while_loop(wcond, lambda l: l + 4, jnp.int32(4))
+        l = jax.lax.while_loop(wcond, lambda l: l + 4, l)
         for _ in range(3):
             ok = (ip + l < lim) & (byte_c(ip + l) == byte(cand + l))
             l = l + ok
@@ -422,12 +441,17 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
             # walk resumes at ip+1 there, and a store ahead of the probe
             # pointer would later be read back as a bogus "candidate"
             le = jnp.where(conf, l, jnp.int32(2))
+            # at most ~8 mid-span inserts: a 128 KiB match does not need
+            # 4096 table refreshes (each is ~5 SMEM ops); the stride
+            # stays 32 B for spans <= 256 B, then widens
+            nins = jnp.minimum(le >> 5, jnp.int32(8))
+            stp = le // jnp.maximum(nins, 1)
 
             def ins(k, _):
-                insert_at(ip + (k << 5))
+                insert_at(ip + k * stp)
                 return 0
 
-            jax.lax.fori_loop(1, le >> 5, ins, 0)
+            jax.lax.fori_loop(1, nins, ins, 0)
             insert_at(ip + le - 2)
             # backward extension (zstd-fast does the same): the miss
             # accelerator can step past a match's true start; walk back

@@ -1185,18 +1185,22 @@ def _frame_hints_usable(plan: _FramePlan, fh) -> bool:
     return True
 
 
-def _init_seq_states(stream: bytes):
-    """Host-side read of the three initial tANS states (predefined logs)."""
+def _init_seq_states(stream: bytes, tls=(6, 5, 6)):
+    """Host-side read of the three initial tANS states.  tls = the block's
+    per-stream accuracy logs (LL, OF, ML): an RLE-mode stream has log 0 —
+    no initial-state bits and a constant state 0 (round 4: the encoder
+    emits RLE/FSE_Compressed sequence tables, ops/fse_plan.py)."""
     total = _sentinel_bits(stream)
     val = int.from_bytes(stream, "little")
     pos = total
-    s_ll = (val >> (pos - 6)) & 63
-    pos -= 6
-    s_of = (val >> (pos - 5)) & 31
-    pos -= 5
-    s_ml = (val >> (pos - 6)) & 63
-    pos -= 6
-    return pos, (s_ll, s_of, s_ml)
+    states = []
+    for log in tls:
+        if log:
+            states.append((val >> (pos - log)) & ((1 << log) - 1))
+            pos -= log
+        else:
+            states.append(0)
+    return pos, tuple(states)
 
 
 
@@ -1427,7 +1431,8 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
             bh = hint_of_block[id(bp)]
             Ab = bh.seq.interval
             A = max(A, Ab)
-            pos0, st0 = _init_seq_states(bp.seq_stream)
+            btls = (bp.ll_tl, bp.of_tl, bp.ml_tl)
+            pos0, st0 = _init_seq_states(bp.seq_stream, btls)
             first = len(chunks2)
             n_chunks = max(1, -(-bp.n_seq // Ab))
             for k in range(n_chunks):
@@ -1435,7 +1440,10 @@ def decode_frames(datas: list[bytes], d_sizes: list[int] | None = None,
                     bits, st, r1 = pos0, st0, 1
                 else:
                     bits = bh.seq.bitpos[k - 1]
-                    st = bh.seq.states[k - 1]
+                    # an RLE stream's state is identically 0 (its hint
+                    # slot holds the encoder's internal masked-walk state)
+                    st = tuple(v if tl else 0 for v, tl in
+                               zip(bh.seq.states[k - 1], btls))
                     r1 = bh.seq.rep1[k - 1] if hasattr(bh.seq, "rep1") else 1
                 chunks2.append((bi, bits, min(Ab, bp.n_seq - k * Ab), st, r1))
             block_chunks.append((first, n_chunks))

@@ -55,16 +55,22 @@ def _exp_of(v):
 
 
 def ll_code_dev(ll):
-    tab = jnp.asarray(_LL_CODE_TAB64, jnp.int32)
-    small = tab[jnp.clip(ll, 0, 63)]
+    # dense compare-count instead of a table gather: XLA gathers run
+    # ~100M elem/s on TPU while the 20-way broadcast compare is VPU-rate
+    base = jnp.asarray(np.asarray(zf._LL_BASE[16:], np.int32))
+    small = jnp.where(
+        ll < 16, ll,
+        15 + jnp.sum((ll[..., None] >= base).astype(jnp.int32), axis=-1))
     return jnp.where(ll > 63, _exp_of(jnp.maximum(ll, 1)) + 19, small)
 
 
 def ml_code_dev(ml):
-    base = ml - 3
-    tab = jnp.asarray(_ML_CODE_TAB128, jnp.int32)
-    small = tab[jnp.clip(ml - 3, 0, 127) + 0]
-    return jnp.where(base > 127, _exp_of(jnp.maximum(base, 1)) + 36, small)
+    mb = ml - 3
+    base = jnp.asarray(np.asarray(zf._ML_BASE[32:], np.int32))
+    small = jnp.where(
+        mb < 32, mb,
+        31 + jnp.sum((ml[..., None] >= base).astype(jnp.int32), axis=-1))
+    return jnp.where(mb > 127, _exp_of(jnp.maximum(mb, 1)) + 36, small)
 
 
 
@@ -131,7 +137,7 @@ def zstd_sequences(x: jnp.ndarray, lengths: jnp.ndarray, *,
     valid = idxs < n_seq[:, None]
     ll = jnp.where(valid, seq_start - seq_lit_from, 0)
     ml = jnp.where(valid, seq_end - seq_start, 0)
-    offv = jnp.where(valid, seq_off + 3, 0)
+    offv = _rep1_rewrite(jnp.where(valid, seq_off + 3, 0), ll, valid)
     last_literals = lengths - c_final
 
     # literal extraction: bytes not covered by any selected match
@@ -142,10 +148,11 @@ def zstd_sequences(x: jnp.ndarray, lengths: jnp.ndarray, *,
     lit_count = jnp.sum(is_lit.astype(jnp.int32), axis=1)
     literals = jnp.zeros((B, N), jnp.uint8)
     literals = C.scatter1_set(literals, lit_rank, x, is_lit)
-    hist = C.hist256(x, is_lit)
+    hist_q = _hist_quarters(x, is_lit, lit_count)
     return dict(ll=ll, ml=ml, offv=offv, n_seq=n_seq,
                 last_literals=last_literals, literals=literals,
-                lit_count=lit_count, hist=hist,
+                lit_count=lit_count, hist=jnp.sum(hist_q, axis=1),
+                hist_q=hist_q,
                 const=_const_byte(x, lengths, in_range))
 
 
@@ -444,7 +451,7 @@ def _fast_post(x, lengths, ll, ml, offv, n_seq, cover, cap: int):
     prev_end = jnp.pad(end_k[:, :-1], ((0, 0), (1, 0)))
     ll2 = jnp.where(valid2, start_k - prev_end, 0)
     ml2 = jnp.where(valid2, end_k - start_k, 0)
-    off2 = jnp.where(valid2, off_k, 0)
+    off2 = _rep1_rewrite(jnp.where(valid2, off_k, 0), ll2, valid2)
     cover2 = jnp.max(jnp.where(valid2, end_k, 0), axis=1)
     in_match = C.fill_regions(N, start_k, end_k, valid2)
     is_lit = (~in_match) & in_range
@@ -452,10 +459,11 @@ def _fast_post(x, lengths, ll, ml, offv, n_seq, cover, cap: int):
     lit_count = jnp.sum(is_lit.astype(jnp.int32), axis=1)
     literals = jnp.zeros((B, N), jnp.uint8)
     literals = C.scatter1_set(literals, lit_rank, x, is_lit)
-    hist = C.hist256(x, is_lit)
+    hist_q = _hist_quarters(x, is_lit, lit_count)
     return dict(ll=ll2, ml=ml2, offv=off2, n_seq=n2,
                 last_literals=lengths - cover2, literals=literals,
-                lit_count=lit_count, hist=hist,
+                lit_count=lit_count, hist=jnp.sum(hist_q, axis=1),
+                hist_q=hist_q,
                 const=_const_byte(x, lengths, in_range))
 
 
@@ -498,15 +506,16 @@ def _fast_post_nolit(x, lengths, ll, ml, offv, n_seq, cover, cap: int):
     prev_end = jnp.pad(end_k[:, :-1], ((0, 0), (1, 0)))
     ll2 = jnp.where(valid2, start_k - prev_end, 0)
     ml2 = jnp.where(valid2, end_k - start_k, 0)
-    off2 = jnp.where(valid2, off_k, 0)
+    off2 = _rep1_rewrite(jnp.where(valid2, off_k, 0), ll2, valid2)
     cover2 = jnp.max(jnp.where(valid2, end_k, 0), axis=1)
     in_match = C.fill_regions(N, start_k, end_k, valid2)
     is_lit = (~in_match) & in_range
     lit_count = jnp.sum(is_lit.astype(jnp.int32), axis=1)
-    hist = C.hist256(x, is_lit)
+    hist_q = _hist_quarters(x, is_lit, lit_count)
     return dict(ll=ll2, ml=ml2, offv=off2, n_seq=n2,
                 last_literals=lengths - cover2,
-                lit_count=lit_count, hist=hist,
+                lit_count=lit_count, hist=jnp.sum(hist_q, axis=1),
+                hist_q=hist_q,
                 const=_const_byte(x, lengths, in_range))
 
 
@@ -546,26 +555,76 @@ def compact_payload(lit_words: jnp.ndarray, lit_bytes: jnp.ndarray,
     stream starts at byte 4*(base[r]+lit_words_used[r])."""
     B, LW = lit_words.shape
     SW = seq_words.shape[1]
-    lw = (lit_bytes + 3) >> 2
-    sw = (seq_bytes + 3) >> 2
+    # Sections padded to whole 32-word (128 B) TILES so compaction can
+    # gather tiles instead of words: a word-granular gather runs at
+    # ~100M elem/s regardless of width (the old formulation's wall),
+    # while a row gather of (nt, 32) slices moves the same bytes with
+    # 32x fewer gather elements.  The pad tiles ride along as payload
+    # padding; callers address sections via the returned base/lw anyway.
+    T = 32
+    assert cap_words % T == 0, cap_words
+    assert LW % T == 0, LW  # seq-section tile mapping needs an aligned split
+    lw = (((lit_bytes + 3) >> 2) + T - 1) & ~(T - 1)
+    sw = (((seq_bytes + 3) >> 2) + T - 1) & ~(T - 1)
     row_words = lw + sw
     base = jnp.cumsum(row_words) - row_words
-    # gather formulation: one gather of cap_words elements instead of
-    # scattering all B*(LW+SW) source words (scatters run ~100M elem/s;
-    # the packed output is typically ~10x smaller than the padded planes)
     src = jnp.concatenate([lit_words, seq_words], axis=1)   # (B, LW+SW)
-    i = np.arange(cap_words, dtype=np.int32)                # (cap,)
-    # owning row via sorted-prefix search: O(cap log B), not the
-    # O(cap x B) broadcast-compare (ADVICE r2)
-    r = jnp.clip(jnp.searchsorted(base, i, side="right") - 1, 0, B - 1)
-    d = i - base[r]
+    LT = LW + SW
+    pad = (-LT) % T
+    if pad:
+        src = jnp.pad(src, ((0, 0), (0, pad)))
+        LT += pad
+    src2 = src.reshape(B * (LT // T), T)
+    nt = cap_words // T
+    it = np.arange(nt, dtype=np.int32) * T                  # tile word idx
+    # owning row via sorted-prefix search: O(nt log B), not the
+    # O(nt x B) broadcast-compare (ADVICE r2); base/lw/sw are all tile-
+    # aligned (and the lit plane width LW is a tile multiple), so a tile
+    # never straddles a row or a lit/seq section boundary
+    r = jnp.clip(jnp.searchsorted(base, it, side="right") - 1, 0, B - 1)
+    d = it - base[r]
     lwr = lw[r]
-    col = jnp.where(d < lwr, d, LW + (d - lwr))
-    col = jnp.clip(col, 0, LW + SW - 1)
+    ct = jnp.where(d < lwr, d, LW + (d - lwr)) // T
+    ct = jnp.clip(r * (LT // T) + ct, 0, B * (LT // T) - 1)
     live = d < row_words[r]
-    flat = jnp.where(live, src.reshape(-1)[r * (LW + SW) + col],
-                     jnp.uint32(0))
-    return flat, base, lw
+    flat2 = jnp.where(live[:, None], src2[ct], jnp.uint32(0))
+    return flat2.reshape(-1), base, lw
+
+
+def _hist_quarters(x, is_lit, lit_count):
+    """Per-stream literal histograms (B, 4, 256): literal i (in literal
+    order) belongs to Huffman stream min(i // ceil(lc/4), 3) — the 4-stream
+    split rule (RFC 8878 §4.2.2, streams 1-3 hold ceil(lc/4) literals).
+    Exact per-stream bit counts derived from these let the SMEM entropy
+    kernel emit all four streams CONCURRENTLY at precomputed byte offsets
+    (the 4-way lockstep; see ops/pallas_entropy.py)."""
+    B = x.shape[0]
+    lit_rank = C.exclusive_cumsum(is_lit.astype(jnp.int32), axis=1)
+    s = jnp.maximum((lit_count + 3) >> 2, 1)
+    sid = jnp.minimum(lit_rank // s[:, None], 3)
+    # one 1024-bin MXU histogram over (stream << 8 | byte)
+    v = (sid << 8) | x.astype(jnp.int32)
+    return C.hist_nk(v, is_lit, 1024).reshape(B, 4, 256)
+
+
+def _rep1_rewrite(offv, ll, valid):
+    """Code repeated distances as repcode 1 (RFC 8878 §3.1.1.5: with
+    litLength != 0, offset_value 1 resolves to the previous sequence's
+    offset).  Any sequence whose distance equals its predecessor's saves
+    the log2(d) offset extra bits plus most of the FSE symbol — the
+    dominant sequence-section cost on periodic data.  The first sequence
+    of a block and ll == 0 sequences (different rep semantics) keep their
+    explicit offsets, so block-parallel decode stays self-contained.
+    libzstd gets the same effect from its repcode search
+    (/root/reference/src/compress.c:666 delegating to ZSTD_compress2)."""
+    if _os.environ.get("ZN_REP1") == "off":
+        return offv
+    cap = offv.shape[1]
+    idxs = jnp.broadcast_to(np.arange(cap, dtype=np.int32)[None, :],
+                            offv.shape)
+    prev = jnp.pad(offv[:, :-1], ((0, 0), (1, 0)))
+    is_rep = valid & (idxs > 0) & (offv == prev) & (ll > 0) & (offv > 3)
+    return jnp.where(is_rep, 1, offv)
 
 
 @jax.jit
@@ -608,9 +667,12 @@ def _linked_post(x, lengths, ll, ml, offv, n_seq, cover, hist, cap: int):
     is_lit = (~in_match) & in_range
     ml_v = jnp.where(valid, ml, 0)
     lit_count = lengths - jnp.sum(ml_v, axis=1)
-    lit_hist = C.hist256(x, is_lit)
-    return dict(ll=jnp.where(valid, ll, 0), ml=ml_v,
-                offv=jnp.where(valid, offv, 0), n_seq=n_seq,
+    hist_q = _hist_quarters(x, is_lit, lit_count)
+    lit_hist = jnp.sum(hist_q, axis=1)
+    return dict(ll=jnp.where(valid, ll, 0), ml=ml_v, hist_q=hist_q,
+                offv=_rep1_rewrite(jnp.where(valid, offv, 0),
+                                   jnp.where(valid, ll, 0), valid),
+                n_seq=n_seq,
                 last_literals=lengths - cover,
                 lit_count=lit_count, hist=lit_hist,
                 const=_const_byte(x, lengths, in_range))
@@ -669,8 +731,15 @@ def apply_ldm_override(seqs: dict, spans: np.ndarray, lengths: np.ndarray,
     out["n_seq"] = jnp.where(cm, 1, seqs["n_seq"])
     out["last_literals"] = jnp.where(cm, ln - ev, seqs["last_literals"])
     out["lit_count"] = jnp.where(cm, sv + (ln - ev), seqs["lit_count"])
-    out["hist"] = jnp.where(cm[:, None], jnp.asarray(
-        lit_hist.astype(np.int32)), seqs["hist"])
+    lh = np.asarray(lit_hist)
+    if lh.ndim == 3:        # per-quarter histograms (B, 4, 256)
+        out["hist_q"] = jnp.where(cm[:, None, None],
+                                  jnp.asarray(lh.astype(np.int32)),
+                                  seqs["hist_q"])
+        out["hist"] = jnp.sum(out["hist_q"], axis=1)
+    else:
+        out["hist"] = jnp.where(cm[:, None], jnp.asarray(
+            lh.astype(np.int32)), seqs["hist"])
     if lit_plane is not None and "literals" in seqs:
         out["literals"] = jnp.where(cm[:, None], jnp.asarray(lit_plane),
                                     seqs["literals"])
@@ -684,7 +753,10 @@ def ldm_literal_stats(spans: np.ndarray, blocks, Bp: int, N: int,
     literal-plane rows holding [block[:s] || block[e:]]."""
     spans_p = np.zeros((Bp, 3), np.int64)
     spans_p[: len(spans)] = spans
-    hist = np.zeros((Bp, 256), np.int64)
+    # per-Huffman-stream histograms (see _hist_quarters): the override
+    # replaces the whole row, so the lockstep entropy kernel needs the
+    # covered blocks' quarter split too
+    hist = np.zeros((Bp, 4, 256), np.int64)
     plane = np.zeros((Bp, N), np.uint8) if need_plane else None
     for i in range(len(spans)):
         d, s, e = spans[i]
@@ -693,7 +765,11 @@ def ldm_literal_stats(spans: np.ndarray, blocks, Bp: int, N: int,
         blk = np.asarray(blocks[i])
         lits = np.concatenate([blk[:s], blk[e:]])
         if len(lits):
-            hist[i] = np.bincount(lits, minlength=256)
+            q = (len(lits) + 3) >> 2
+            for k in range(4):
+                part = lits[k * q: len(lits) if k == 3 else (k + 1) * q]
+                if len(part):
+                    hist[i, k] = np.bincount(part, minlength=256)
             if plane is not None:
                 plane[i, : len(lits)] = lits
     return spans_p, hist, plane

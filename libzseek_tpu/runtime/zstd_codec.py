@@ -286,6 +286,19 @@ class ZstdCodec:
                 if d is not None and (d[:, 0] > 0).any():
                     ldm = ldm_literal_stats(d, blocks, Bp, N,
                                             need_plane=False)
+                    # covered rows' parse output is replaced wholesale by
+                    # the override, so their device parse is pure cost
+                    # (long-match blocks pay a ~block-length scalar extend
+                    # on the core).  Skip it — except for the LAST covered
+                    # row of each run, which still parses so the
+                    # persistent hash table stays warm for the next
+                    # uncovered block.
+                    cov = d[:, 0] > 0
+                    skip = cov.copy()
+                    skip[:-1] = cov[:-1] & cov[1:]
+                    if skip.any():
+                        lens_parse = lens.copy()
+                        lens_parse[:B][skip] = 0
             if self._devices is not None:
                 # commit the batch to its worker chip; every downstream op
                 # (and all small uncommitted operands) follows the data
@@ -392,16 +405,29 @@ class ZstdCodec:
         lit_cap = _ceil_to(N + 64, 128)
         seq_cap = _ceil_to(9 * S + 64, 128)
         lens_dev = jnp.asarray(lens_pad.astype(np.int32))
-        mode, mode_bits, codes_packed, weights_packed, _rle = hp.plan_blocks(
-            seqs["hist"], seqs["lit_count"], seqs["n_seq"], seqs["const"],
-            lens_dev, mode_huf=pe.MODE_HUF, mode_huf1=pe.MODE_HUF1,
-            mode_rawlit=pe.MODE_RAWLIT, mode_seq=pe.MODE_SEQ)
-        meta = jnp.stack([lens_dev, seqs["lit_count"].astype(jnp.int32),
-                          seqs["n_seq"].astype(jnp.int32), mode_bits],
-                         axis=1)
+        mode, mode_bits, codes_packed, weights_packed, _rle, sizes4 = \
+            hp.plan_blocks(
+                seqs["hist"], seqs["lit_count"], seqs["n_seq"],
+                seqs["const"], lens_dev, mode_huf=pe.MODE_HUF,
+                mode_huf1=pe.MODE_HUF1, mode_rawlit=pe.MODE_RAWLIT,
+                mode_seq=pe.MODE_SEQ, hist_q=seqs["hist_q"])
+        # per-block sequence-table choice (RLE / FSE_Compressed /
+        # predefined per stream type, ops/fse_plan.py); the flags ride in
+        # the kernel's mode word and the norms are fetched for the host's
+        # table-description serialization
+        from libzseek_tpu.ops import fse_plan as fpl
+        sflags, ctabs, norms, rle_syms, _gain = fpl.plan_seq_tables(
+            seqs["ll"], seqs["ml"], seqs["offv"], seqs["n_seq"])
+        mode_bits = mode_bits | jnp.where(
+            (mode_bits & pe.MODE_SEQ) != 0, sflags, 0)
+        meta = jnp.concatenate(
+            [jnp.stack([lens_dev, seqs["lit_count"].astype(jnp.int32),
+                        seqs["n_seq"].astype(jnp.int32), mode_bits],
+                       axis=1), sizes4.astype(jnp.int32)], axis=1)
         lit_w, seq_w, osz, lanch, sanch = pe.entropy_emit_smem(
             x_dev, seqs["ll"], seqs["ml"], seqs["offv"], meta,
-            codes_packed, S, lit_cap, seq_cap, interpret=interp)
+            codes_packed, S, lit_cap, seq_cap, ctabs=ctabs,
+            interpret=interp)
         lit_bytes_dev = jnp.sum(osz[:, :4], axis=1)
         seq_bytes_dev = osz[:, 4]
         cap_words = self._cap_words_for(Bp * N // 4)
@@ -409,7 +435,8 @@ class ZstdCodec:
             lit_w, lit_bytes_dev, seq_w, seq_bytes_dev, cap_words)
         parts = [seqs["lit_count"], seqs["n_seq"], seqs["const"], mode,
                  _rle, weights_packed.reshape(-1), base_w, lw_w,
-                 osz.reshape(-1)]
+                 osz.reshape(-1), sflags, norms.reshape(-1),
+                 rle_syms.reshape(-1)]
         shapes = {"lanch": lanch.shape, "sanch": sanch.shape}
         if self.collect_hints:
             parts += [lanch.reshape(-1), sanch.reshape(-1)]
@@ -455,6 +482,10 @@ class ZstdCodec:
         base_w = take(Bp)
         lw_w = take(Bp)
         osz = take(Bp * 8, (Bp, 8))
+        from libzseek_tpu.ops import fse_plan as fpl
+        sflags = take(Bp)
+        norms = take(Bp * fpl.NORM_WIDTH, (Bp, fpl.NORM_WIDTH))
+        rle_syms = take(Bp * 3, (Bp, 3))
         if self.collect_hints:
             ls = staged["shapes"]["lanch"]
             ss = staged["shapes"]["sanch"]
@@ -513,7 +544,8 @@ class ZstdCodec:
                    flat_bytes=flat_bytes, base_w=base_w, lw_w=lw_w,
                    lit_anchors=lit_anchors, sa_bits=sa_bits,
                    sa_states=sa_states, sa_rep1=sa_rep1,
-                   lit_rows=lit_rows, modes=modes)
+                   lit_rows=lit_rows, modes=modes,
+                   sflags=sflags, norms=norms, rle_syms=rle_syms)
         out = self._assemble(B, lens, lit_count[:B], n_seq[:B], None,
                              modes, trees, ent, const=const[:B],
                              rle=rle_byte)
@@ -740,11 +772,20 @@ class ZstdCodec:
             elif m in ("none", "rle", "raw"):
                 mode_bits[i] = pe.MODE_SEQ
             # "skip": 0
-        meta = np.zeros((Bp, 4), np.int32)
+        meta = np.zeros((Bp, 8), np.int32)
         meta[:B, 0] = lens
         meta[:B, 1] = lit_count
         meta[:B, 2] = n_seq
         meta[:B, 3] = mode_bits[:B]
+        # exact per-stream byte sizes position the kernel's 4 lockstep
+        # literal streams (see ops/pallas_entropy.py)
+        hq = np.asarray(seqs["hist_q"])[:B].astype(np.int64)
+        bits_q = np.sum(hq * code_bits[:B, None, :], axis=2)
+        for i in range(B):
+            if modes[i] == "huf":
+                meta[i, 4:8] = (bits_q[i] + 1 + 7) >> 3
+            elif modes[i] == "huf1":
+                meta[i, 4] = (int(bits_q[i].sum()) + 1 + 7) >> 3
         codes_packed = (code_vals << 4) | code_bits
         interp = jax.devices()[0].platform == "cpu"
         kout = pe.entropy_emit_smem(
@@ -759,8 +800,10 @@ class ZstdCodec:
         sizes4_dev = osz[:, :4]
         lit_bytes_dev = jnp.sum(sizes4_dev, axis=1)
         seq_bytes_dev = osz[:, 4]
+        # + 256 B/row: compact_payload pads each row's lit and seq
+        # sections to whole 128-B tiles (tile-granular gather)
         cap_bytes = sum(e + 16 for e in ests) + \
-            int(np.sum(n_seq.astype(np.int64) * 9 + 12)) + 256
+            int(np.sum(n_seq.astype(np.int64) * 9 + 12)) + 256 + 256 * Bp
         cap_words = max(1024, 1 << int(cap_bytes // 4).bit_length())
         anchors = [osz]
         if self.collect_hints:
@@ -833,8 +876,10 @@ class ZstdCodec:
         huf_mask = np.zeros((Bp,), np.int32)
         huf_mask[:B] = [m == "huf" for m in modes]
         lit_bytes_dev = jnp.sum(sizes4_dev, axis=1) * jnp.asarray(huf_mask)
+        # + 256 B/row: compact_payload pads each row's lit and seq
+        # sections to whole 128-B tiles (tile-granular gather)
         cap_bytes = sum(e + 16 for e in ests) + \
-            int(np.sum(n_seq.astype(np.int64) * 9 + 12)) + 256
+            int(np.sum(n_seq.astype(np.int64) * 9 + 12)) + 256 + 256 * Bp
         cap_words = max(1024, 1 << int(cap_bytes // 4).bit_length())
         anchors = [sizes4_dev.reshape(-1), seq_sizes_dev]
         if self.collect_hints:
@@ -878,6 +923,43 @@ class ZstdCodec:
                     lit_anchors=lit_anchors, sa_bits=sa_bits,
                     sa_states=sa_states, sa_rep1=sa_rep1, lit_rows=lit_rows,
                     modes=modes)
+
+    @staticmethod
+    def _seq_table_desc(ent, i) -> bytes:
+        """Compression-modes byte + table descriptions (RFC 8878
+        §3.1.1.3.2.1): Predefined (0), RLE (1: one symbol byte), or
+        FSE_Compressed (2: serialized normalized counts), per stream in
+        LL, OF, ML order.  Paths without a sequence-table plan (XLA
+        entropy fallback) emit all-predefined."""
+        sflags = ent.get("sflags")
+        if sflags is None:
+            return bytes([0x00])
+        from libzseek_tpu.ops import fse, fse_plan as fpl
+        fl = int(sflags[i])
+        out = bytearray()
+        modes2 = []
+        descs = []
+        off = 0
+        for key, rbit, fbit in (("ll", fpl.MODE_LL_RLE, fpl.MODE_LL_FSE),
+                                ("of", fpl.MODE_OF_RLE, fpl.MODE_OF_FSE),
+                                ("ml", fpl.MODE_ML_RLE, fpl.MODE_ML_FSE)):
+            nsym = fpl.NSYMS[key]
+            if fl & rbit:
+                modes2.append(1)
+                ki = {"ll": 0, "of": 1, "ml": 2}[key]
+                descs.append(bytes([int(ent["rle_syms"][i, ki])]))
+            elif fl & fbit:
+                modes2.append(2)
+                norm = np.asarray(ent["norms"][i, off: off + nsym])
+                descs.append(fse.write_norm_counts(norm, fpl.LOGS[key]))
+            else:
+                modes2.append(0)
+                descs.append(b"")
+            off += nsym
+        out.append((modes2[0] << 6) | (modes2[1] << 4) | (modes2[2] << 2))
+        for d in descs:
+            out += d
+        return bytes(out)
 
     def _assemble(self, B, lens, lit_count, n_seq, hist, modes, trees, ent,
                   const=None, rle=None):
@@ -939,7 +1021,7 @@ class ZstdCodec:
             seq_sec = _nbseq_header(ns)
             seq_h = None
             if ns > 0:
-                seq_sec += bytes([0x00])  # all predefined modes
+                seq_sec += self._seq_table_desc(ent, i)
                 lo = 4 * int(base_w[i] + lw_w[i])
                 seq_sec += flat_bytes[lo: lo + int(seq_sizes[i])].tobytes()
                 if sa_bits is not None:

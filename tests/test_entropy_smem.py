@@ -54,7 +54,18 @@ def test_kernel_matches_xla(rng):
     fx = fse_encode_sequences(jnp.asarray(ll), jnp.asarray(ml),
                               jnp.asarray(offv), jnp.asarray(n_seq), SEQ_CAP,
                               smax=S, anchor_interval=128)
-    meta = np.stack([lens, lit_count, n_seq, modes], axis=1).astype(np.int32)
+    # exact per-stream sizes (what huffman_plan.plan_blocks derives from
+    # hist_q): position the kernel's lockstep streams, and must agree
+    # with what the XLA encoder actually produced
+    sizes4 = np.zeros((2, 4), np.int32)
+    lits0 = np.asarray(seqs["literals"])[0, : int(lit_count[0])]
+    q = (len(lits0) + 3) >> 2
+    for k in range(4):
+        part = lits0[k * q: len(lits0) if k == 3 else (k + 1) * q]
+        sizes4[0, k] = (int(code_bits[0][part].sum()) + 1 + 7) >> 3
+    meta = np.concatenate(
+        [np.stack([lens, lit_count, n_seq, modes], axis=1), sizes4],
+        axis=1).astype(np.int32)
     codes_packed = ((code_vals << 4) | code_bits).astype(np.int32)
     k_lit, k_seq, k_osz, k_lanch, k_sanch = entropy_emit_smem(
         jnp.asarray(X), jnp.asarray(ll), jnp.asarray(ml), jnp.asarray(offv),

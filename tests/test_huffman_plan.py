@@ -112,7 +112,7 @@ def test_plan_modes(rng):
     const = np.array([0, -1, -1], np.int32)
     lens = np.array([N, N, N], np.int32)
     hist[0] = 0  # rleblock row: all matched, no literals
-    mode, mode_bits, codes_packed, wpk, rle = hp.plan_blocks(
+    mode, mode_bits, codes_packed, wpk, rle, _sz4 = hp.plan_blocks(
         jnp.asarray(hist), jnp.asarray(lit_count), jnp.asarray(n_seq),
         jnp.asarray(const), jnp.asarray(lens), mode_huf=pe.MODE_HUF,
         mode_huf1=pe.MODE_HUF1, mode_rawlit=pe.MODE_RAWLIT,

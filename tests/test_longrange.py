@@ -98,3 +98,32 @@ def test_partial_spans_never_beat_the_parse(rng):
     finally:
         os.environ.pop("ZN_LDM", None)
     assert size_on <= size_off * 1.02 + 64, (size_on, size_off)
+
+
+def test_small_period_whole_block_coverage(rng):
+    # short-period content (period far below the 128 KiB min_dist): the
+    # always-overwrite candidate table must surface the small distance and
+    # cover repeat blocks whole, so the codec can skip their device parse
+    # (round 4: each such block otherwise costs a ~block-length scalar
+    # extend on the TPU core)
+    N = 131072
+    period = rng.integers(0, 256, 337, np.uint8).tobytes()
+    raw = (period * ((5 * N) // 337 + 1))[: 5 * N]
+    x = np.frombuffer(raw, np.uint8)
+    d = native.ldm_scan(x, 5, N, np.zeros(5, np.int64),
+                        np.full(5, N, np.int32), 1 << 17)
+    # block 0 has no in-frame source; later blocks must be covered whole
+    assert (d[1:, 0] > 0).all() and (d[1:, 1] == 0).all() \
+        and (d[1:, 2] == N).all(), d.tolist()
+
+
+def test_linked_parse_skip_roundtrip(rng):
+    # end-to-end through the linked parser with covered rows' parse
+    # skipped (parse_lengths = 0): archive must still stock-decode
+    N = 131072
+    period = rng.integers(0, 256, 337, np.uint8).tobytes()
+    raw = (period * (4 * N // 337 + 1))[: 4 * N] + bytes(2 * N) + \
+        rng.integers(97, 123, N, np.uint8).tobytes()
+    codec = ZstdCodec(parser="linked")
+    fr = codec.compress_frames([raw])[0]
+    assert golden.zstd_decompress(fr) == raw

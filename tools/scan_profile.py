@@ -42,9 +42,31 @@ kind = os.environ.get("CORPUS", "mixed")
 gen = text_corpus if kind == "text" else mixed_corpus
 data = gen(rng, (B + 1) * N)
 X2 = jnp.asarray(np.frombuffer(data.tobytes(), np.uint8).reshape(B + 1, N))
-lens = jnp.asarray(np.full((B,), N, np.int32))
+lens_h = np.full((B,), N, np.int32)
+lens = jnp.asarray(lens_h)
 min_abs = jnp.asarray(
     np.concatenate([[N], np.arange(1, B, dtype=np.int32) * N]))
+# production skips the parse for LDM-covered rows whose successor is also
+# covered (runtime/zstd_codec.py); mirror it so the stage split is honest
+from libzseek_tpu import native as _native
+
+lens_parse_h = lens_h
+_ldm_stats = None
+_blocks = [np.frombuffer(data.tobytes(), np.uint8)[N + i * N: N + (i + 1) * N]
+           for i in range(B)]
+_d = _native.ldm_scan(
+    np.asarray(np.frombuffer(data.tobytes(), np.uint8)[N:]), B, N,
+    np.zeros(B, np.int64), lens_h, 1 << 17)
+if _d is not None and (_d[:, 0] > 0).any():
+    _cov = _d[:, 0] > 0
+    _skip = _cov.copy()
+    _skip[:-1] = _cov[:-1] & _cov[1:]
+    lens_parse_h = np.where(_skip, 0, lens_h).astype(np.int32)
+    print(f"ldm: {int(_cov.sum())} covered, {int(_skip.sum())} parse-skipped")
+    from libzseek_tpu.ops.zstd_encode import (apply_ldm_override,
+                                              ldm_literal_stats)
+    _ldm_stats = ldm_literal_stats(_d, _blocks, B, N, need_plane=False)
+lens_parse = jnp.asarray(lens_parse_h)
 
 
 def chain_to(which, dep):
@@ -56,28 +78,42 @@ def chain_to(which, dep):
     if which == "h16":
         return h16[0]
     ll, ml, offv, n_seq, cover = zstd_parse_linked_smem(
-        x2, lens, min_abs, h16, gate_bits=GATE_FIXED_BITS)
+        x2, lens_parse, min_abs, h16, gate_bits=GATE_FIXED_BITS)
     if which == "parse":
         return n_seq[0]
     seqs = _linked_post(x, lens, ll, ml, offv, n_seq, cover, hist,
                         cap=CAP)
+    if _ldm_stats is not None:
+        seqs = apply_ldm_override(seqs, _ldm_stats[0], lens_h,
+                                  _ldm_stats[1])
     if which == "post":
         return seqs["hist"][0, 0] + seqs["n_seq"][0]
     from libzseek_tpu.ops import huffman_plan as hp
     from libzseek_tpu.ops import pallas_entropy as pe
-    mode, mode_bits, codes_packed, weights_packed, _rle = hp.plan_blocks(
-        seqs["hist"], seqs["lit_count"], seqs["n_seq"], seqs["const"],
-        lens, mode_huf=pe.MODE_HUF, mode_huf1=pe.MODE_HUF1,
-        mode_rawlit=pe.MODE_RAWLIT, mode_seq=pe.MODE_SEQ)
+    mode, mode_bits, codes_packed, weights_packed, _rle, sizes4 = \
+        hp.plan_blocks(
+            seqs["hist"], seqs["lit_count"], seqs["n_seq"], seqs["const"],
+            lens, mode_huf=pe.MODE_HUF, mode_huf1=pe.MODE_HUF1,
+            mode_rawlit=pe.MODE_RAWLIT, mode_seq=pe.MODE_SEQ,
+            hist_q=seqs["hist_q"])
     if which == "plan":
         return mode[0] + codes_packed[0, 0]
-    meta = jnp.stack([lens, seqs["lit_count"].astype(jnp.int32),
-                      seqs["n_seq"].astype(jnp.int32), mode_bits], axis=1)
+    from libzseek_tpu.ops import fse_plan as fpl
+    sflags, ctabs, norms, rle_syms, _gain = fpl.plan_seq_tables(
+        seqs["ll"], seqs["ml"], seqs["offv"], seqs["n_seq"])
+    mode_bits = mode_bits | jnp.where(
+        (mode_bits & pe.MODE_SEQ) != 0, sflags, 0)
+    if which == "fseplan":
+        return sflags[0] + norms[0, 0]
+    meta = jnp.concatenate(
+        [jnp.stack([lens, seqs["lit_count"].astype(jnp.int32),
+                    seqs["n_seq"].astype(jnp.int32), mode_bits], axis=1),
+         sizes4.astype(jnp.int32)], axis=1)
     lit_cap = _ceil_to(N + 64, 128)
     seq_cap = _ceil_to(9 * CAP + 64, 128)
     lit_w, seq_w, osz, lanch, sanch = pe.entropy_emit_smem(
         x, seqs["ll"], seqs["ml"], seqs["offv"], meta,
-        codes_packed, CAP, lit_cap, seq_cap)
+        codes_packed, CAP, lit_cap, seq_cap, ctabs=ctabs)
     if which == "entropy":
         return osz[0, 0] + osz[0, 4]
     lit_bytes_dev = jnp.sum(osz[:, :4], axis=1)
@@ -98,7 +134,8 @@ def scan_fn(which):
 
 prev = 0.0
 print(f"corpus={kind} B={B} K={K}  (cumulative prefixes; Δ = stage cost)")
-for which in ("xor", "h16", "parse", "post", "plan", "entropy", "compact"):
+for which in ("xor", "h16", "parse", "post", "plan", "fseplan", "entropy",
+              "compact"):
     fn = scan_fn(which)
     _ = np.asarray(fn(jnp.int32(0)))
     best = 1e9
