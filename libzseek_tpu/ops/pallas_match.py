@@ -192,11 +192,12 @@ def hash_parse_blocks_smem(x: jnp.ndarray, lengths: jnp.ndarray,
 
 
 def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
-                         off_ref, n_ref, table_ref, *, cap: int,
+                         off_ref, n_ref, mask_ref, table_ref, *, cap: int,
                          max_offset: int, hash_log: int, block_bytes: int,
                          gate_bits: int, min_match: int,
                          gated_policy: str = "halve",
                          strict_h16_x6: int = 480,
+                         strict_hash_bytes: int = 8,
                          variant: str = "quad",
                          lazy: int = 0, accel_log: int = 6,
                          dual: bool = False,
@@ -216,6 +217,11 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
 
     b = pl.program_id(0)
     base = b * block_bytes          # absolute position of the window start
+    # strict arm: bytes 4..strict_hash_bytes of the hash come from the
+    # second word, masked to the configured width (8 = the classic
+    # long-hash arm; 6 finds 6-7 byte matches the 8-byte hash misses)
+    SH_MASK = np.uint32((1 << (8 * (strict_hash_bytes - 4))) - 1) \
+        if strict_hash_bytes < 8 else np.uint32(0xFFFFFFFF)
 
     @pl.when(b == 0)
     def _():
@@ -228,6 +234,18 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
     blen = meta_ref[0, 0, 0]        # current block length
     min_abs = meta_ref[0, 0, 1]     # first referenceable absolute position
     h16 = meta_ref[0, 0, 2]         # block byte entropy * 16 (gate)
+
+    # literal-coverage bitmask (1 bit per block byte, 1 = literal): starts
+    # all-ones, kept matches clear their span below.  Downstream this
+    # replaces the XLA post's scatter-built region mask (~10 ms/8 MiB of
+    # the old fill_regions scatters).
+    NWM = mask_ref.shape[2]
+
+    def mi(i, _):
+        mask_ref[0, 0, i] = -1
+        return 0
+
+    jax.lax.fori_loop(0, NWM, mi, 0)
     # window coords: [0, 4*CW) = previous block, [4*CW, 4*CW+blen) = this one
     limit = block_bytes + blen - 12
 
@@ -318,9 +336,9 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
             return v.astype(jnp.uint32)
 
         def sig_u(w, ext):
-            # bucket + tag from one hash product over 5 (or 8) bytes
+            # bucket + tag from one hash product over 5 (or 6-8) bytes
             if strict:
-                return (U(w) ^ (U(ext) * GOLD)) * PRIME
+                return (U(w) ^ ((U(ext) & SH_MASK) * GOLD)) * PRIME
             return (U(w) ^ (U(ext) << 13)) * PRIME
 
         def sig_long(w, ext4):
@@ -478,6 +496,31 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
             ll_ref[0, 0, cnt] = ips - anchor
             ml_ref[0, 0, cnt] = lf
             off_ref[0, 0, cnt] = dist + 3
+
+            @pl.when(keep)
+            def _():
+                # clear mask bits [a, a+lf) (block-relative)
+                a = ips - block_bytes
+                eend = a + lf
+                wa = a >> 5
+                we = (eend - 1) >> 5
+                lowm = (jnp.uint32(1) << (a & 31).astype(jnp.uint32)) - 1
+                eb = (eend & 31).astype(jnp.uint32)
+                highm = jnp.where(eb == 0, jnp.uint32(0),
+                                  jnp.uint32(0xFFFFFFFF) << eb)
+                mm = jnp.where(wa == we, lowm | highm, lowm)
+                mask_ref[0, 0, wa] = mask_ref[0, 0, wa] & mm.astype(jnp.int32)
+
+                @pl.when(we > wa)
+                def _():
+                    mask_ref[0, 0, we] = mask_ref[0, 0, we] & \
+                        highm.astype(jnp.int32)
+
+                def zw(wk, _):
+                    mask_ref[0, 0, wk] = 0
+                    return 0
+
+                jax.lax.fori_loop(wa + 1, we, zw, 0)
             ipn = jnp.where(conf, ip + l, ip + 1 + (miss >> accel_log))
             # a KEPT match resets the miss accelerator; a CONFIRMED but
             # gated-out match halves it instead of incrementing — the
@@ -507,7 +550,9 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
             cand = cand_abs - base
             conf4 = w32(cand) == w32_c(ip)
             if strict:
-                conf = conf4 & (w32(cand + 4) == w32_c(ip + 4))
+                conf = conf4 & (
+                    (w32(cand + 4).astype(jnp.uint32) & SH_MASK) ==
+                    (w32_c(ip + 4).astype(jnp.uint32) & SH_MASK))
                 return do_match_full(ip, anchor, cnt, miss, cand_abs,
                                      conf)
             x2 = (w32(cand + 4) ^ w32_c(ip + 4)).astype(jnp.uint32)
@@ -618,7 +663,7 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
                 if strict:
                     ek = ws[j + 1] if r == 0 else \
                         ((ws[j + 1] >> r) | (ws[j + 2] << (32 - r)))
-                    u = (wk ^ (ek * GOLD)) * PRIME
+                    u = (wk ^ ((ek & SH_MASK) * GOLD)) * PRIME
                 else:
                     ek = (ws[j + 1] >> r) & jnp.uint32(0xFF)
                     u = (wk ^ (ek << 13)) * PRIME
@@ -710,7 +755,8 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
 
 @partial(jax.jit, static_argnames=("cap", "max_offset", "hash_log",
                                    "gate_bits", "min_match", "gated_policy",
-                                   "strict_h16_x6", "lazy", "accel_log",
+                                   "strict_h16_x6", "strict_hash_bytes",
+                                   "lazy", "accel_log",
                                    "dual", "debug_counters", "interpret"))
 def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
                            min_abs: jnp.ndarray, h16: jnp.ndarray,
@@ -720,6 +766,7 @@ def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
                            gate_bits: int = 14, min_match: int = 5,
                            gated_policy: str = "halve",
                            strict_h16_x6: int = 480,
+                           strict_hash_bytes: int = 8,
                            lazy: int = 0, accel_log: int = 6,
                            dual: bool = False,
                            debug_counters: bool = False,
@@ -741,10 +788,12 @@ def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
     words = jax.lax.bitcast_convert_type(
         x2.reshape(B1, NW, 4), jnp.int32)
     NC = 6 if debug_counters else 2
+    NWM = N // 32
     kernel = partial(_parse_linked_kernel, cap=cap, max_offset=max_offset,
                      hash_log=hash_log, block_bytes=N,
                      gate_bits=gate_bits, min_match=min_match,
                      gated_policy=gated_policy, strict_h16_x6=strict_h16_x6,
+                     strict_hash_bytes=strict_hash_bytes,
                      lazy=lazy, accel_log=accel_log, dual=dual,
                      debug_counters=debug_counters)
 
@@ -759,25 +808,27 @@ def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
     # ONE wide SMEM input stream (prev || cur), concatenated on device:
     # two shifted SMEM streams of the same array measured ~15x slower
     wide = jnp.concatenate([words[:-1], words[1:]], axis=1)
-    ll, ml, off, nn = pl.pallas_call(
+    ll, ml, off, nn, lmask = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[smem((B, 1, 2 * NW)), smem((B, 1, 3))],
         out_specs=[smem((B, 1, cap)), smem((B, 1, cap)), smem((B, 1, cap)),
-                   smem((B, 1, NC))],
+                   smem((B, 1, NC)), smem((B, 1, NWM))],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, cap), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, cap), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, cap), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, NC), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, NWM), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((1 << hash_log,), jnp.int32)],
         interpret=interpret,
     )(wide.reshape(B, 1, 2 * NW), meta.reshape(B, 1, 3))
     if debug_counters:
         return (ll[:, 0], ml[:, 0], off[:, 0], nn[:, 0, 0], nn[:, 0, 1],
-                nn[:, 0, 2:])
-    return (ll[:, 0], ml[:, 0], off[:, 0], nn[:, 0, 0], nn[:, 0, 1])
+                lmask[:, 0], nn[:, 0, 2:])
+    return (ll[:, 0], ml[:, 0], off[:, 0], nn[:, 0, 0], nn[:, 0, 1],
+            lmask[:, 0])
 
 
 # ---------------------------------------------------------------------------

@@ -648,23 +648,33 @@ def block_entropy_h16(x: jnp.ndarray, lengths: jnp.ndarray):
 
 
 @partial(jax.jit, static_argnames=("cap",))
-def _linked_post(x, lengths, ll, ml, offv, n_seq, cover, hist, cap: int):
+def _linked_post(x, lengths, ll, ml, offv, n_seq, cover, hist, cap: int,
+                 lit_mask=None):
     """XLA tail of the linked gated parse: the sequences are already final
     (the gate ran in-kernel), so only literal statistics remain —
     coverage mask, literal histogram, RLE-block detection.  lit_count is
     exact without the mask (literals = everything matches don't cover);
     `hist` (the full-block histogram from block_entropy_h16) is unused
-    here but kept in the signature for the profiling tools."""
+    here but kept in the signature for the profiling tools.
+
+    lit_mask (B, N//32) int32: the parse kernel's literal-coverage
+    bitmask (bit i of word w = block byte 32w+i, 1 = literal).  When
+    given, the scatter-built region mask (~10 ms/8 MiB) is skipped."""
     del hist
     B, N = x.shape
-    seq_end = jnp.cumsum(ll + ml, axis=1)
-    seq_start = seq_end - ml
     idxs = jnp.broadcast_to(np.arange(cap, dtype=np.int32)[None, :], (B, cap))
     valid = idxs < n_seq[:, None]
     pos = jnp.broadcast_to(np.arange(N, dtype=np.int32)[None, :], (B, N))
     in_range = pos < lengths[:, None]
-    in_match = C.fill_regions(N, seq_start, seq_end, valid)
-    is_lit = (~in_match) & in_range
+    if lit_mask is not None:
+        bits = (lit_mask[:, :, None] >>
+                np.arange(32, dtype=np.int32)[None, None, :]) & 1
+        is_lit = (bits != 0).reshape(B, N) & in_range
+    else:
+        seq_end = jnp.cumsum(ll + ml, axis=1)
+        seq_start = seq_end - ml
+        in_match = C.fill_regions(N, seq_start, seq_end, valid)
+        is_lit = (~in_match) & in_range
     ml_v = jnp.where(valid, ml, 0)
     lit_count = lengths - jnp.sum(ml_v, axis=1)
     hist_q = _hist_quarters(x, is_lit, lit_count)
@@ -791,14 +801,15 @@ def zstd_sequences_linked(x2: jnp.ndarray, lengths: jnp.ndarray,
     # parse_lengths: zeroed rows skip the parse kernel entirely (LDM-
     # covered blocks); literal stats below still use the real lengths
     pl = lengths if parse_lengths is None else parse_lengths
-    ll, ml, offv, n_seq, cover = zstd_parse_linked_smem(
+    ll, ml, offv, n_seq, cover, lmask = zstd_parse_linked_smem(
         x2, pl, min_abs, h16, gate_bits=GATE_FIXED_BITS,
         gated_policy=os.environ.get("ZN_GATED_POLICY", "halve"),
         strict_h16_x6=int(os.environ.get("ZN_STRICT_X6", "480")),
+        strict_hash_bytes=int(os.environ.get("ZN_STRICT_HB", "8")),
         **level_search_params(level),
         interpret=interpret)
     return _linked_post(x, lengths, ll, ml, offv, n_seq, cover, hist,
-                        cap=ll.shape[1])
+                        cap=ll.shape[1], lit_mask=lmask)
 
 
 def zstd_sequences_fast(x: jnp.ndarray, lengths: jnp.ndarray):

@@ -47,7 +47,7 @@ def _parse(x2, lens, min_abs, h16=None):
 
 def test_linked_sequences_valid(linked_batch):
     x2, lens, min_abs = linked_batch
-    ll, ml, off, n_seq, cover = _parse(x2, lens, min_abs)
+    ll, ml, off, n_seq, cover, _m = _parse(x2, lens, min_abs)
     assert n_seq.sum() > 0
     for i in range(4):
         window = np.concatenate([x2[i], x2[i + 1]])  # [prev | cur]
@@ -74,7 +74,7 @@ def test_linked_sequences_valid(linked_batch):
 
 def test_frame_fence_blocks_cross_frame_matches(linked_batch):
     x2, lens, min_abs = linked_batch
-    ll, ml, off, n_seq, _ = _parse(x2, lens, min_abs)
+    ll, ml, off, n_seq, _, _m = _parse(x2, lens, min_abs)
     # block 3 (frame B) equals block 2 (frame A's tail) byte-for-byte, but
     # the fence must keep all its sources inside itself
     for j in range(n_seq[3]):
@@ -97,7 +97,7 @@ def test_gate_drops_unprofitable_matches(rng):
     lens = np.array([N], np.int32)
     min_abs = np.array([N], np.int32)
     h16 = np.array([128], np.int32)
-    ll, ml, off, n_seq, cover = _parse(x2, lens, min_abs, h16)
+    ll, ml, off, n_seq, cover, _m = _parse(x2, lens, min_abs, h16)
     for j in range(n_seq[0]):
         ebits = int(np.floor(np.log2(off[0, j])))
         assert ml[0, j] >= 5
@@ -109,7 +109,7 @@ def test_short_and_empty_rows(rng):
     x2[1, :100] = rng.integers(0, 256, 100, np.uint8)
     lens = np.array([100, 0], np.int32)
     min_abs = np.array([N, 2 * N], np.int32)
-    ll, ml, off, n_seq, cover = _parse(x2, lens, min_abs)
+    ll, ml, off, n_seq, cover, _m = _parse(x2, lens, min_abs)
     assert n_seq[1] == 0 and cover[1] == 0
     assert cover[0] <= 100
 
@@ -152,7 +152,7 @@ def test_level_ladder_coverage_and_validity(rng):
     est = {}
     for lvl in (1, 3, 9, 19):
         prm = level_search_params(lvl)
-        ll, ml, off, n_seq, cover = [np.asarray(v) for v in
+        ll, ml, off, n_seq, cover, _m = [np.asarray(v) for v in
                                      zstd_parse_linked_smem(
             jnp.asarray(x2), jnp.asarray(lens), jnp.asarray(min_abs),
             jnp.asarray(h16), interpret=True, **prm)]

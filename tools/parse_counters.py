@@ -32,7 +32,7 @@ lens = np.full((B,), N, np.int32)
 min_abs = np.concatenate([[N], np.arange(1, B, dtype=np.int32) * N])
 
 h16, _hist = block_entropy_h16(jnp.asarray(X2[1:]), jnp.asarray(lens))
-ll, ml, off, n_seq, cover, ctr = zstd_parse_linked_smem(
+ll, ml, off, n_seq, cover, _mask, ctr = zstd_parse_linked_smem(
     jnp.asarray(X2), jnp.asarray(lens), jnp.asarray(min_abs), h16,
     debug_counters=True)
 ctr = np.asarray(ctr)

@@ -58,7 +58,7 @@ def timed(tag, **kw):
     def run(d0):
         def step(c, _):
             x2 = X2 ^ c.astype(jnp.uint8)
-            ll, ml, offv, n_seq, cover = zstd_parse_linked_smem(
+            ll, ml, offv, n_seq, cover, _m = zstd_parse_linked_smem(
                 x2, lens, min_abs, h16, **KW, **kw)
             return n_seq[0] & 1, None
         c, _ = jax.lax.scan(step, d0, None, length=K)
@@ -81,7 +81,7 @@ timed("parse (production)")
 # --- counters ---
 out = zstd_parse_linked_smem(X2, lens, min_abs, h16, **KW,
                              debug_counters=True)
-ll, ml, offv, n_seq, cover, ctr = [np.asarray(a) for a in out]
+ll, ml, offv, n_seq, cover, _mask, ctr = [np.asarray(a) for a in out]
 q = B // 4
 names = ["text", "rep337", "zeros", "noise"] if kind == "mixed" else [kind] * 4
 print(f"{'quarter':>8} {'quad_it':>10} {'single_it':>10} {'match_arm':>10} "

@@ -77,12 +77,12 @@ def chain_to(which, dep):
     h16, hist = block_entropy_h16(x, lens)
     if which == "h16":
         return h16[0]
-    ll, ml, offv, n_seq, cover = zstd_parse_linked_smem(
+    ll, ml, offv, n_seq, cover, lmask = zstd_parse_linked_smem(
         x2, lens_parse, min_abs, h16, gate_bits=GATE_FIXED_BITS)
     if which == "parse":
         return n_seq[0]
     seqs = _linked_post(x, lens, ll, ml, offv, n_seq, cover, hist,
-                        cap=CAP)
+                        cap=CAP, lit_mask=lmask)
     if _ldm_stats is not None:
         seqs = apply_ldm_override(seqs, _ldm_stats[0], lens_h,
                                   _ldm_stats[1])
