@@ -37,9 +37,11 @@ from libzseek_tpu.format import zstd_frame as zf
 # stream-table mode bits, merged into the entropy kernel's meta[3]
 # (single source: ops/pallas_entropy.py; no cycle — that module only
 # imports this one lazily inside its wrapper)
-from libzseek_tpu.ops.pallas_entropy import (MODE_LL_FSE, MODE_LL_RLE,
+from libzseek_tpu.ops.pallas_entropy import (CT_MAXLOG, CTAB_PREDEF,
+                                             CTAB_WIDTH, MODE_LL_FSE,
+                                             MODE_LL_RLE, MODE_LOG_SHIFT,
                                              MODE_ML_FSE, MODE_ML_RLE,
-                                             MODE_OF_FSE, MODE_OF_RLE)
+                                             MODE_OF_FSE, MODE_OF_RLE, _CTO)
 
 _STREAMS = (
     ("ll", len(zf.LL_DEFAULT_NORM), zf.LL_DEFAULT_LOG, zf.LL_DEFAULT_NORM),
@@ -76,7 +78,7 @@ def _spread_pos(log):
     return ((np.arange(tab) * step) & (tab - 1)).astype(np.int32)
 
 
-_SPREAD_POS = {k: _spread_pos(lg) for k, _, lg, _ in _STREAMS}
+_SPREAD_POS = {lg: _spread_pos(lg) for lg in (5, 6, 8, 9)}
 
 
 def _floor_log2(x):
@@ -114,16 +116,18 @@ def _normalize(hist, log):
     return norm, ok & (jnp.sum(norm, axis=1) == tab)
 
 
-def _build_ctable(key, norm):
-    """Vectorized FSE_buildCTable for stream `key` ("ll"|"of"|"ml");
-    mirrors ops/fse.build_encode_table exactly for norms without -1
-    entries.  norm: (B, nsyms), sum == table_size per row.  Returns
+def _build_ctable(key, norm, log=None):
+    """Vectorized FSE_buildCTable for stream `key` ("ll"|"of"|"ml") at
+    accuracy `log` (default: the predefined log); mirrors
+    ops/fse.build_encode_table exactly for norms without -1 entries.
+    norm: (B, nsyms), sum == table_size per row.  Returns
     (state_table (B, tab), delta_nb_bits (B, nsyms),
     delta_find_state (B, nsyms))."""
-    log = LOGS[key]
+    if log is None:
+        log = LOGS[key]
     tab = 1 << log
     B, nsyms = norm.shape
-    pos = jnp.asarray(_SPREAD_POS[key])               # (tab,)
+    pos = jnp.asarray(_SPREAD_POS[log])               # (tab,)
     cum_in = jnp.cumsum(norm, axis=1)                 # (B, nsyms) inclusive
     cumul = cum_in - norm                             # exclusive
     k = np.arange(tab, dtype=np.int32)
@@ -137,6 +141,7 @@ def _build_ctable(key, norm):
         jnp.broadcast_to(pos[None, :], (B, tab)), order, axis=1)
     c = norm
     max_bits = log - _floor_log2(jnp.maximum(c - 1, 1))
+    assert isinstance(log, int)
     dnb = jnp.where(
         c == 0, ((log + 1) << 16) - tab,
         jnp.where(c == 1, (log << 16) - tab,
@@ -145,22 +150,6 @@ def _build_ctable(key, norm):
                     jnp.where(c == 1, cumul - 1, cumul - c))
     return (state_table.astype(jnp.int32), dnb.astype(jnp.int32),
             dfs.astype(jnp.int32))
-
-
-def _predef_pack():
-    """The predefined tables packed in the kernel's segment order
-    (ll_st, ll_dnb, ll_dfs, of_st, of_dnb, of_dfs, ml_st, ml_dnb,
-    ml_dfs) — identical to ops/pallas_entropy._TABS' first 9 segments."""
-    from libzseek_tpu.ops import fse
-    parts = []
-    for key, _, lg, nm in _STREAMS:
-        et = fse.build_encode_table(np.asarray(nm), lg)
-        parts += [et.state_table, et.delta_nb_bits, et.delta_find_state]
-    return np.concatenate([np.asarray(p, np.int32) for p in parts])
-
-
-_PREDEF_PACK = _predef_pack()
-CTAB_WIDTH = _PREDEF_PACK.shape[0]
 
 
 @jax.jit
@@ -198,46 +187,76 @@ def plan_seq_tables(ll, ml, offv, n_seq):
         hist = _hist_codes(codes[key], nsyms, valid)
         nz = jnp.sum((hist > 0).astype(jnp.int32), axis=1)
         sym = jnp.argmax(hist, axis=1).astype(jnp.int32)
-        norm, norm_ok = _normalize(hist, log)
-        # exact per-symbol custom cost in 1/16 bits: an FSE symbol with n
-        # of 2^log slots costs between log-ceil(log2 n) and
-        # log-floor(log2 n) bits; use the upper bound so the decision
-        # never overclaims
-        cb16 = jnp.where(norm > 0,
-                         (log - _floor_log2(jnp.maximum(norm, 1))) * 16,
-                         0)
+        log_m = CT_MAXLOG[key]
+        tab_m = 1 << log_m
         pd16 = jnp.asarray(_PD_BITS16[key])[None, :]
         bits_pd = jnp.sum(hist * pd16, axis=1) >> 4
-        bits_cu = jnp.sum(hist * cb16, axis=1) >> 4
-        # description bound: ncount emits counts up to the last used
-        # symbol at <= log+2 bits each, plus the 4-bit accuracy header
         last = jnp.max(jnp.where(hist > 0,
                                  np.arange(nsyms, dtype=np.int32)[None, :],
                                  0), axis=1)
-        hdr_bits = 4 + (last + 1) * (log + 2)
+
+        def custom(lg):
+            # normalized counts + expected cost (fractional, the same
+            # formula as the predefined estimate so the comparison is
+            # unbiased) + description bound at accuracy log `lg`
+            norm, ok = _normalize(hist, lg)
+            if _os.environ.get("ZN_SEQTAB_EST", "frac") == "floor":
+                cb16 = jnp.where(
+                    norm > 0,
+                    (lg - _floor_log2(jnp.maximum(norm, 1))) * 16, 0)
+            else:
+                nf = jnp.maximum(norm.astype(jnp.float32), 1.0)
+                cb16 = jnp.where(
+                    norm > 0,
+                    jnp.round((lg - jnp.log2(nf)) * 16).astype(jnp.int32),
+                    0)
+            bits = jnp.sum(hist * cb16, axis=1) >> 4
+            hdr = (4 + (last + 1) * (lg + 2) + 7) >> 3
+            return norm, ok, bits + hdr * 8
+
+        norm_d, ok_d, cost_d = custom(log)
+        norm_m, ok_m, cost_m = custom(log_m)
+        base_ok = (nz >= 2) & (n_seq >= MIN_SEQ_FSE) & (not disabled)
+        # ZN_SEQTAB=nolog9 pins the default-log arm (A/B tooling;
+        # same-tree measurements on the source corpus: tables-on beats
+        # off by ~8 %, and the max-log arm beats default-log by ~3 %)
+        ok_m_gate = _os.environ.get("ZN_SEQTAB") != "nolog9"
+        ok_d = ok_d & base_ok & (cost_d + 16 < bits_pd)
+        ok_m = ok_m & base_ok & (cost_m + 16 < bits_pd) & ok_m_gate
+        use_m = ok_m & (~ok_d | (cost_m < cost_d))
+        use_d = ok_d & ~use_m
         rle = (nz == 1) & (n_seq > 0) & (not disabled)
-        fse_ok = norm_ok & (nz >= 2) & (n_seq >= MIN_SEQ_FSE) & \
-            (bits_cu + hdr_bits + 16 < bits_pd) & (not disabled)
+        use_m = use_m & ~rle
+        use_d = use_d & ~rle
+        fse_ok = use_m | use_d
         rbit, fbit = bit_map[key]
+        sh = MODE_LOG_SHIFT[key]
         flags = flags | jnp.where(rle, rbit, 0) | \
-            jnp.where(fse_ok & ~rle, fbit, 0)
-        gain_total = gain_total + jnp.where(
-            fse_ok & ~rle, bits_pd - bits_cu - hdr_bits, 0)
-        st, dnb, dfs = _build_ctable(key, norm)
-        pd = _PREDEF_PACK
-        o = {"ll": 0, "of": (1 << LOGS["ll"]) + 2 * NSYMS["ll"],
-             "ml": (1 << LOGS["ll"]) + 2 * NSYMS["ll"] +
-             (1 << LOGS["of"]) + 2 * NSYMS["of"]}[key]
-        tabn = 1 << log
-        use = (fse_ok & ~rle)[:, None]
-        ctab_parts.append(jnp.where(
-            use, st, jnp.asarray(pd[o: o + tabn])[None, :]))
-        ctab_parts.append(jnp.where(
-            use, dnb, jnp.asarray(pd[o + tabn: o + tabn + nsyms])[None, :]))
-        ctab_parts.append(jnp.where(
-            use, dfs,
-            jnp.asarray(pd[o + tabn + nsyms: o + tabn + 2 * nsyms])[None, :]))
-        norms_out.append(norm)
+            jnp.where(fse_ok, fbit, 0) | \
+            jnp.where(use_m, log_m << sh, 0) | \
+            jnp.where(use_d, log << sh, 0)
+        gain_total = gain_total + \
+            jnp.where(use_m, bits_pd - cost_m, 0) + \
+            jnp.where(use_d, bits_pd - cost_d, 0)
+        st_d, dnb_d, dfs_d = _build_ctable(key, norm_d, log)
+        st_m, dnb_m, dfs_m = _build_ctable(key, norm_m, log_m)
+        # pad the default-log state table into the max-log segment
+        st_d = jnp.pad(st_d, ((0, 0), (0, tab_m - (1 << log))))
+        pd = CTAB_PREDEF
+        o = _CTO[key + "_st"]
+        seg_pd = jnp.asarray(pd[o: o + tab_m])[None, :]
+        st = jnp.where(use_m[:, None], st_m,
+                       jnp.where(use_d[:, None], st_d, seg_pd))
+        o = _CTO[key + "_dnb"]
+        dnb_pd = jnp.asarray(pd[o: o + nsyms])[None, :]
+        dnb = jnp.where(use_m[:, None], dnb_m,
+                        jnp.where(use_d[:, None], dnb_d, dnb_pd))
+        o = _CTO[key + "_dfs"]
+        dfs_pd = jnp.asarray(pd[o: o + nsyms])[None, :]
+        dfs = jnp.where(use_m[:, None], dfs_m,
+                        jnp.where(use_d[:, None], dfs_d, dfs_pd))
+        ctab_parts += [st, dnb, dfs]
+        norms_out.append(jnp.where(use_m[:, None], norm_m, norm_d))
         rle_syms.append(sym)
     ctabs = jnp.concatenate(ctab_parts, axis=1)
     norms = jnp.concatenate(norms_out, axis=1)

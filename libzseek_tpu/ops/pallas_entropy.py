@@ -89,6 +89,57 @@ def _build_tabs() -> tuple[np.ndarray, dict[str, int]]:
 
 _TABS, _OFF = _build_tabs()
 
+# ---- per-block sequence-table pack layout (ops/fse_plan.py fills it) ----
+# Segments sized for the FORMAT-MAX accuracy logs (LL 9, OF 8, ML 9) so a
+# block may carry either the predefined-log tables (6/5/6, stored in the
+# segment's low entries) or full-resolution custom ones; offsets are
+# compile-time constants either way.
+CT_MAXLOG = {"ll": 9, "of": 8, "ml": 9}
+
+
+def _ctab_layout():
+    offs = {}
+    pos = 0
+    for key, nsyms, lg, _nm in (
+            ("ll", len(zf.LL_DEFAULT_NORM), zf.LL_DEFAULT_LOG,
+             zf.LL_DEFAULT_NORM),
+            ("of", len(zf.OF_DEFAULT_NORM), zf.OF_DEFAULT_LOG,
+             zf.OF_DEFAULT_NORM),
+            ("ml", len(zf.ML_DEFAULT_NORM), zf.ML_DEFAULT_LOG,
+             zf.ML_DEFAULT_NORM)):
+        offs[key + "_st"] = pos
+        pos += 1 << CT_MAXLOG[key]
+        offs[key + "_dnb"] = pos
+        pos += nsyms
+        offs[key + "_dfs"] = pos
+        pos += nsyms
+    return offs, pos
+
+
+_CTO, CTAB_WIDTH = _ctab_layout()
+
+
+def _ctab_predef() -> np.ndarray:
+    """The predefined tables in the padded per-block layout."""
+    out = np.zeros(CTAB_WIDTH, np.int32)
+    for key, lg, nm in (("ll", zf.LL_DEFAULT_LOG, zf.LL_DEFAULT_NORM),
+                        ("of", zf.OF_DEFAULT_LOG, zf.OF_DEFAULT_NORM),
+                        ("ml", zf.ML_DEFAULT_LOG, zf.ML_DEFAULT_NORM)):
+        et = fse.build_encode_table(np.asarray(nm), lg)
+        o = _CTO[key + "_st"]
+        out[o: o + len(et.state_table)] = et.state_table
+        o = _CTO[key + "_dnb"]
+        out[o: o + len(et.delta_nb_bits)] = et.delta_nb_bits
+        o = _CTO[key + "_dfs"]
+        out[o: o + len(et.delta_find_state)] = et.delta_find_state
+    return out
+
+
+CTAB_PREDEF = _ctab_predef()
+
+# per-stream accuracy-log fields in the mode word (0 = predefined log)
+MODE_LOG_SHIFT = {"ll": 12, "of": 16, "ml": 20}
+
 
 def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs, ctab,
                     lit_o, seq_o, osz, lanch, sanch, run_pos, run_cum,
@@ -356,6 +407,12 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs, ctab,
         rle_ll = (mode & MODE_LL_RLE) != 0
         rle_of = (mode & MODE_OF_RLE) != 0
         rle_ml = (mode & MODE_ML_RLE) != 0
+        tl_ll = (mode >> 12) & 15
+        tl_ll = jnp.where(tl_ll == 0, zf.LL_DEFAULT_LOG, tl_ll)
+        tl_of = (mode >> 16) & 15
+        tl_of = jnp.where(tl_of == 0, zf.OF_DEFAULT_LOG, tl_of)
+        tl_ml = (mode >> 20) & 15
+        tl_ml = jnp.where(tl_ml == 0, zf.ML_DEFAULT_LOG, tl_ml)
 
         def codes_of(ll_v, ml_v, of_v):
             llc = jnp.where(ll_v > 63, exp_of(ll_v) + 19,
@@ -375,21 +432,21 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs, ctab,
             of_v = soff[0, 0, i]
             llc, mlc, ofc = codes_of(ll_v, ml_v, of_v)
             first = t == 0
-            n_of, bv_of, nb_of = enc_sym(s_of, ofc, O["of_st"],
-                                         O["of_dnb"], O["of_dfs"])
-            n_ml, bv_ml, nb_ml = enc_sym(s_ml, mlc, O["ml_st"],
-                                         O["ml_dnb"], O["ml_dfs"])
-            n_ll, bv_ll, nb_ll = enc_sym(s_ll, llc, O["ll_st"],
-                                         O["ll_dnb"], O["ll_dfs"])
+            n_of, bv_of, nb_of = enc_sym(s_of, ofc, _CTO["of_st"],
+                                         _CTO["of_dnb"], _CTO["of_dfs"])
+            n_ml, bv_ml, nb_ml = enc_sym(s_ml, mlc, _CTO["ml_st"],
+                                         _CTO["ml_dnb"], _CTO["ml_dfs"])
+            n_ll, bv_ll, nb_ll = enc_sym(s_ll, llc, _CTO["ll_st"],
+                                         _CTO["ll_dnb"], _CTO["ll_dfs"])
             s_of = jnp.where(first,
-                             init_state(ofc, O["of_st"], O["of_dnb"],
-                                        O["of_dfs"]), n_of)
+                             init_state(ofc, _CTO["of_st"], _CTO["of_dnb"],
+                                        _CTO["of_dfs"]), n_of)
             s_ml = jnp.where(first,
-                             init_state(mlc, O["ml_st"], O["ml_dnb"],
-                                        O["ml_dfs"]), n_ml)
+                             init_state(mlc, _CTO["ml_st"], _CTO["ml_dnb"],
+                                        _CTO["ml_dfs"]), n_ml)
             s_ll = jnp.where(first,
-                             init_state(llc, O["ll_st"], O["ll_dnb"],
-                                        O["ll_dfs"]), n_ll)
+                             init_state(llc, _CTO["ll_st"], _CTO["ll_dnb"],
+                                        _CTO["ll_dfs"]), n_ll)
             z = jnp.int32(0)
             nb_of = jnp.where(first | rle_of, z, nb_of)
             nb_ml = jnp.where(first | rle_ml, z, nb_ml)
@@ -415,9 +472,9 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs, ctab,
             def _():
                 ka = (i >> _SA_LOG) - 1
                 sanch[0, 0, ka] = pb
-                sanch[0, 0, SMAXA + ka] = s_ll - (1 << zf.LL_DEFAULT_LOG)
-                sanch[0, 0, 2 * SMAXA + ka] = s_of - (1 << zf.OF_DEFAULT_LOG)
-                sanch[0, 0, 3 * SMAXA + ka] = s_ml - (1 << zf.ML_DEFAULT_LOG)
+                sanch[0, 0, SMAXA + ka] = s_ll - (1 << tl_ll)
+                sanch[0, 0, 2 * SMAXA + ka] = s_of - (1 << tl_of)
+                sanch[0, 0, 3 * SMAXA + ka] = s_ml - (1 << tl_ml)
 
             return t + 1, s_ll, s_of, s_ml, bst
 
@@ -428,19 +485,16 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs, ctab,
         zu = jnp.uint32(0)
         bst = push(seq_o, bst,
                    jnp.where(rle_ml, zu,
-                             (s_ml & ((1 << zf.ML_DEFAULT_LOG) - 1)
-                              ).astype(jnp.uint32)),
-                   jnp.where(rle_ml, 0, zf.ML_DEFAULT_LOG))
+                             (s_ml & ((1 << tl_ml) - 1)).astype(jnp.uint32)),
+                   jnp.where(rle_ml, 0, tl_ml))
         bst = push(seq_o, bst,
                    jnp.where(rle_of, zu,
-                             (s_of & ((1 << zf.OF_DEFAULT_LOG) - 1)
-                              ).astype(jnp.uint32)),
-                   jnp.where(rle_of, 0, zf.OF_DEFAULT_LOG))
+                             (s_of & ((1 << tl_of) - 1)).astype(jnp.uint32)),
+                   jnp.where(rle_of, 0, tl_of))
         bst = push(seq_o, bst,
                    jnp.where(rle_ll, zu,
-                             (s_ll & ((1 << zf.LL_DEFAULT_LOG) - 1)
-                              ).astype(jnp.uint32)),
-                   jnp.where(rle_ll, 0, zf.LL_DEFAULT_LOG))
+                             (s_ll & ((1 << tl_ll) - 1)).astype(jnp.uint32)),
+                   jnp.where(rle_ll, 0, tl_ll))
         total = bst[1] + (bst[2] << 5) + 1  # + sentinel
         stream_close(seq_o, bst)
         osz[0, 0, 4] = (total + 7) >> 3
@@ -500,9 +554,8 @@ def entropy_emit_smem(x: jnp.ndarray, sll: jnp.ndarray, sml: jnp.ndarray,
     tabs = jnp.asarray(_TABS)[None, None, :]
     # per-block sequence-code tables (ops/fse_plan.py); default =
     # predefined content broadcast per row
-    from libzseek_tpu.ops.fse_plan import CTAB_WIDTH
     if ctabs is None:
-        ctabs = jnp.broadcast_to(jnp.asarray(_TABS[:CTAB_WIDTH])[None, :],
+        ctabs = jnp.broadcast_to(jnp.asarray(CTAB_PREDEF)[None, :],
                                  (B, CTAB_WIDTH))
     lit_w, seq_w, osz, lanch, sanch = pl.pallas_call(
         kernel,

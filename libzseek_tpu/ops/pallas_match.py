@@ -778,8 +778,11 @@ def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
     min_abs (B,) absolute first referenceable position, where block r's
     bytes occupy absolute [(r+1)*N, (r+1)*N + lengths[r]); h16 (B,) block
     byte entropy in 1/16 bits (the gate's cost scale).  Returns
-    (ll, ml, offv, n_seq, cover_end) with the gate already applied — ll/ml
-    are final sequence fields (ll = literal run before the match)."""
+    (ll, ml, offv, n_seq, cover_end, lit_mask) with the gate already
+    applied — ll/ml are final sequence fields (ll = literal run before the
+    match); lit_mask (B, N//32) flags literal bytes (bit i of word w =
+    block byte 32w+i, 1 = literal), replacing the XLA post stage's
+    scatter-built coverage mask."""
     B1, N = x2.shape
     B = B1 - 1
     # table entries pack absolute positions into 24 bits (7-bit tag above)

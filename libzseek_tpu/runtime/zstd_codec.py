@@ -951,7 +951,10 @@ class ZstdCodec:
             elif fl & fbit:
                 modes2.append(2)
                 norm = np.asarray(ent["norms"][i, off: off + nsym])
-                descs.append(fse.write_norm_counts(norm, fpl.LOGS[key]))
+                from libzseek_tpu.ops.pallas_entropy import MODE_LOG_SHIFT
+                lg = (fl >> MODE_LOG_SHIFT[key]) & 15
+                descs.append(fse.write_norm_counts(
+                    norm, lg or fpl.LOGS[key]))
             else:
                 modes2.append(0)
                 descs.append(b"")

@@ -177,6 +177,12 @@ def main():
     ap.add_argument("--pread", action="store_true",
                     help="also run the read-side workloads")
     args = ap.parse_args()
+    if args.synthetic and args.file is not None:
+        # with --synthetic the FILE positional is vacant, but argparse
+        # still assigns the first positional to it: shift
+        # (file, workers) -> (workers, frame_mib)
+        args.workers, args.frame_mib = int(args.file), args.workers
+        args.file = None
     if not args.file and not args.synthetic:
         ap.error("need FILE or --synthetic MB")
     codec = "zstd" if args.zstd else "lz4"

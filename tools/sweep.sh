@@ -9,8 +9,13 @@ CODEC=${1:---zstd}
 MB=${2:-64}
 REPS=2
 cd "$(dirname "$0")/.."
+# full reference grid (/root/reference/test/benchmark.sh:16): f up to
+# 1024 MiB.  Points with f > MB degenerate to one frame; pass MB >= 1024
+# (and budget for the tunnel upload) to make the top rows meaningful —
+# bench_results/sweep_bigframe_r4.txt holds a committed 1 GiB run.
 for w in 1 2 4 8 16; do
-  for f in 1 4 16 64; do
+  for f in 1 4 16 64 256 1024; do
+    [ "$f" -gt "$MB" ] && continue
     for _ in $(seq $REPS); do
       python tools/benchmark.py "$CODEC" --synthetic "$MB" "$w" "$f" -t
     done
