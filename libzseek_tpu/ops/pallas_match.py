@@ -198,6 +198,7 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
                          gated_policy: str = "halve",
                          strict_h16_x6: int = 480,
                          strict_hash_bytes: int = 8,
+                         rep_probe: bool = False,
                          variant: str = "quad",
                          lazy: int = 0, accel_log: int = 6,
                          dual: bool = False,
@@ -405,7 +406,7 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
                 h, tagb = h_tagb(sig_u(w, ext4 & 0xFF))
             table_ref[h] = (base + p) | tagb
 
-        def do_match_full(ip, anchor, cnt, miss, cand_abs, conf):
+        def do_match_full(ip, anchor, cnt, miss, rep, cand_abs, conf):
             """Shared match arm (single-step hit and quad-loop hit):
             extend, [lazy: try ip+1(/+2) for a longer match], reseed the
             table across the span, backward-extend, gate, emit.  Caller
@@ -491,8 +492,16 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
             # anyway (the next survivor overwrites) and just don't advance
             # cnt/anchor.
             ebits = 31 - jax.lax.clz(dist + 3)
-            keep = conf & (lf >= min_match) & \
-                (lf * h16 > (gate_bits + ebits) * 16)
+            # a repeated distance codes as repcode 1 downstream
+            # (zstd_encode._rep1_rewrite): no offset extra bits and a
+            # near-free FSE symbol, so the gate charges it ~8 bits fixed
+            # and admits length-4 matches (zstd's own rep special case)
+            cheap = (dist == rep) & (cnt > 0) & (ips > anchor)
+            keep = conf & \
+                (lf >= jnp.where(cheap, 4, min_match)) & \
+                (lf * h16 > jnp.where(cheap,
+                                      jnp.maximum(gate_bits - 6, 6),
+                                      gate_bits + ebits) * 16)
             ll_ref[0, 0, cnt] = ips - anchor
             ml_ref[0, 0, cnt] = lf
             off_ref[0, 0, cnt] = dist + 3
@@ -532,9 +541,9 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
             else:  # "grow": stride persists through gated-out matches
                 missn = jnp.where(keep, jnp.int32(0), miss + 1)
             return (ipn, jnp.where(keep, ip + l, anchor),
-                    cnt + keep, missn)
+                    cnt + keep, missn, jnp.where(keep, dist, rep))
 
-        def do_match_at(ip, anchor, cnt, miss, cand_abs):
+        def do_match_at(ip, anchor, cnt, miss, rep, cand_abs):
             if debug_counters:
                 n_ref[0, 0, 4] = n_ref[0, 0, 4] + 1
             """Confirm the candidate's bytes, then either the full match
@@ -553,7 +562,11 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
                 conf = conf4 & (
                     (w32(cand + 4).astype(jnp.uint32) & SH_MASK) ==
                     (w32_c(ip + 4).astype(jnp.uint32) & SH_MASK))
-                return do_match_full(ip, anchor, cnt, miss, cand_abs,
+                # a rep-distance candidate skips the 8-byte confirmation:
+                # short rep matches are profitable (see the cheap gate)
+                conf = conf | (conf4 & (base + ip - cand_abs == rep) &
+                               (cnt > 0))
+                return do_match_full(ip, anchor, cnt, miss, rep, cand_abs,
                                      conf)
             x2 = (w32(cand + 4) ^ w32_c(ip + 4)).astype(jnp.uint32)
             tz = (31 - jax.lax.clz((x2 & -x2).astype(jnp.int32))) >> 3
@@ -561,8 +574,11 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
             pos = base + ip
             dist = pos - cand_abs
             ebits = 31 - jax.lax.clz(dist + 3)
-            prof8 = (l8 >= min_match) & \
-                (l8 * h16 > (gate_bits + ebits) * 16)
+            cheap8 = (dist == rep) & (cnt > 0)
+            prof8 = (l8 >= jnp.where(cheap8, 4, min_match)) & \
+                (l8 * h16 > jnp.where(cheap8,
+                                      jnp.maximum(gate_bits - 6, 6),
+                                      gate_bits + ebits) * 16)
             minw = min_abs - base
             # backward extension could lengthen the match past the gate:
             # only reject when the first backward byte already differs
@@ -577,10 +593,10 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
                     missn = miss >> 1
                 else:
                     missn = miss + 1
-                return ip + l8, anchor, cnt, missn
+                return ip + l8, anchor, cnt, missn, rep
 
             def full(_):
-                return do_match_full(ip, anchor, cnt, miss, cand_abs,
+                return do_match_full(ip, anchor, cnt, miss, rep, cand_abs,
                                      conf4)
 
             return jax.lax.cond(fastr, fast, full, None)
@@ -588,11 +604,23 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
         # one scalar branch per probe; byte confirmation + the gate run
         # inside the match arm
         def body1(state):
-            ip, anchor, cnt, miss = state
+            ip, anchor, cnt, miss, rep = state
             if debug_counters:
                 n_ref[0, 0, 3] = n_ref[0, 0, 3] + 1
             pos = base + ip
             wlo = jnp.maximum(min_abs, pos - max_offset)
+            # repcode candidate: the previous kept match's distance, the
+            # repeat stride of structured data (ZSTD_fast checks it at
+            # every position for the same reason).  Static rep_probe
+            # gates the extra loads: measured +18 % parse time for
+            # +0.15 % ratio at L3, so the default ladder enables it only
+            # at effort levels >= 4 (the repeated-distance CHEAP GATE in
+            # the match arm stays on everywhere — it is free).
+            if rep_probe:
+                rep_hit = (rep > 0) & (cnt < cap) & \
+                    (w32(jnp.maximum(ip - rep, 0)) == w32_c(ip))
+            else:
+                rep_hit = jnp.bool_(False)
             if dual_arm:
                 h_s, tb_s, h_l, tb_l = probe_both(ip)
                 e_s = table_ref[h_s]
@@ -611,13 +639,14 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
                 table_ref[h] = pos | tagb
 
             def hit(_):
-                return do_match_at(ip, anchor, cnt, miss,
-                                   entry & 0xFFFFFF)
+                cand_abs = jnp.where(rep_hit, pos - rep, entry & 0xFFFFFF)
+                return do_match_at(ip, anchor, cnt, miss, rep, cand_abs)
 
             def do_miss(_):
-                return ip + 1 + (miss >> accel_log), anchor, cnt, miss + 1
+                return (ip + 1 + (miss >> accel_log), anchor, cnt,
+                        miss + 1, rep)
 
-            return jax.lax.cond(good, hit, do_miss, None)
+            return jax.lax.cond(good | rep_hit, hit, do_miss, None)
 
         return body1, do_match_at
 
@@ -625,7 +654,7 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
         ip0 = jnp.int32(block_bytes)
         return jax.lax.while_loop(
             lambda s: s[0] < limit, body1,
-            (ip0, ip0, jnp.int32(0), jnp.int32(0)))
+            (ip0, ip0, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
 
     # --- quad miss loop ---------------------------------------------
     # The miss path dominates parse time (matches advance by their length
@@ -643,82 +672,118 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
         NLD = W // 4 + (2 if strict else 1)  # aligned words per iteration
 
         def qcond(s):
-            q, fnd = s[0], s[1]
-            return (fnd == 0) & (4 * q <= block_bytes + blen - 12 - W)
+            q, fnd, fndr = s[0], s[1], s[2]
+            return ((fnd | fndr) == 0) & \
+                (4 * q <= block_bytes + blen - 12 - W)
 
-        def qbody(s):
-            q = s[0]
-            fnd = s[1]
-            miss = s[2 + W]
-            ws = [U(win_ref[0, 0, q + j]) for j in range(NLD)]
-            pos0 = base + 4 * q
-            # one window bound for all W positions (conservative by W-1
-            # bytes at the far edge, so emitted dists stay <= max_offset)
-            wlo = jnp.maximum(min_abs, pos0 - (max_offset - (W - 1)))
-            es = []
-            for k in range(W):
-                j, r = k // 4, 8 * (k % 4)
-                wk = ws[j] if r == 0 else \
-                    ((ws[j] >> r) | (ws[j + 1] << (32 - r)))
-                if strict:
-                    ek = ws[j + 1] if r == 0 else \
-                        ((ws[j + 1] >> r) | (ws[j + 2] << (32 - r)))
-                    u = (wk ^ ((ek & SH_MASK) * GOLD)) * PRIME
-                else:
-                    ek = (ws[j + 1] >> r) & jnp.uint32(0xFF)
-                    u = (wk ^ (ek << 13)) * PRIME
-                h = (u >> shift).astype(jnp.int32)
-                tagb = ((u << TAGB_SH).astype(jnp.int32)) & TAG_MASK
-                entry = table_ref[h]
-                pos_k = pos0 + k
-                good = (entry >= tagb + wlo) & (entry < tagb + pos_k)
-                table_ref[h] = pos_k | tagb
-                fnd = fnd | (good.astype(jnp.int32) << k)
-                es.append(entry)
-            if debug_counters:
-                n_ref[0, 0, 2] = n_ref[0, 0, 2] + 1
-            return (q + W // 4 + (miss >> (accel_log + 2)), fnd, *es,
-                    miss + W, q)
+        def make_qbody(rep):
+            # rep is loop-invariant inside the quad walk (it only changes
+            # on kept matches, which exit the loop)
+            def qbody(s):
+                q = s[0]
+                fnd = s[1]
+                fndr = s[2]
+                miss = s[3 + W]
+                ws = [U(win_ref[0, 0, q + j]) for j in range(NLD)]
+                pos0 = base + 4 * q
+                # one window bound for all W positions (conservative by
+                # W-1 bytes at the far edge, so emitted dists stay <=
+                # max_offset)
+                wlo = jnp.maximum(min_abs, pos0 - (max_offset - (W - 1)))
+                # rep-candidate words: two dynamically-shifted bases give
+                # all W sliding compare words with compile-time shifts
+                if rep_probe:
+                    rq = 4 * q - rep
+                    mj = rq >> 2
+                    sh = ((rq & 3) * 8).astype(jnp.uint32)
+                    m0 = U(win_ref[0, 0, jnp.maximum(mj, 0)])
+                    m1 = U(win_ref[0, 0, jnp.maximum(mj + 1, 0)])
+                    m2 = U(win_ref[0, 0, jnp.maximum(mj + 2, 0)])
+                    nz = jnp.uint32(32) - sh
+                    zsh = sh == 0
+                    ra = (m0 >> sh) | jnp.where(zsh, jnp.uint32(0),
+                                                m1 << nz)
+                    rb = (m1 >> sh) | jnp.where(zsh, jnp.uint32(0),
+                                                m2 << nz)
+                    check_rep = rep > 0
+                es = []
+                for k in range(W):
+                    j, r = k // 4, 8 * (k % 4)
+                    wk = ws[j] if r == 0 else \
+                        ((ws[j] >> r) | (ws[j + 1] << (32 - r)))
+                    if strict:
+                        ek = ws[j + 1] if r == 0 else \
+                            ((ws[j + 1] >> r) | (ws[j + 2] << (32 - r)))
+                        u = (wk ^ ((ek & SH_MASK) * GOLD)) * PRIME
+                    else:
+                        ek = (ws[j + 1] >> r) & jnp.uint32(0xFF)
+                        u = (wk ^ (ek << 13)) * PRIME
+                    h = (u >> shift).astype(jnp.int32)
+                    tagb = ((u << TAGB_SH).astype(jnp.int32)) & TAG_MASK
+                    entry = table_ref[h]
+                    pos_k = pos0 + k
+                    good = (entry >= tagb + wlo) & (entry < tagb + pos_k)
+                    table_ref[h] = pos_k | tagb
+                    fnd = fnd | (good.astype(jnp.int32) << k)
+                    if rep_probe:
+                        rv = ra if k == 0 else \
+                            ((ra >> (8 * k)) | (rb << (32 - 8 * k)))
+                        rhit = check_rep & (rv == wk)
+                        fndr = fndr | (rhit.astype(jnp.int32) << k)
+                    es.append(entry)
+                if debug_counters:
+                    n_ref[0, 0, 2] = n_ref[0, 0, 2] + 1
+                return (q + W // 4 + (miss >> (accel_log + 2)), fnd, fndr,
+                        *es, miss + W, q)
+
+            return qbody
 
         def outer(state):
             # realign: single-step while ip is not word-aligned
             st = jax.lax.while_loop(
                 lambda s: (s[0] < limit) & ((s[0] & 3) != 0), body1, state)
-            ip, anchor, cnt, miss = st
+            ip, anchor, cnt, miss, rep = st
             q0 = ip >> 2
             z = jnp.int32(0)
             qs = jax.lax.while_loop(
-                qcond, qbody, (q0, z) + (z,) * W + (miss, q0))
+                qcond, make_qbody(rep),
+                (q0, z, z) + (z,) * W + (miss, q0))
             q = qs[0]
             fnd = qs[1]
-            es = qs[2: 2 + W]
-            missq = qs[2 + W]
-            qp = qs[3 + W]
+            fndr = qs[2]
+            es = qs[3: 3 + W]
+            missq = qs[3 + W]
+            qp = qs[4 + W]
 
             def with_hit(_):
+                both = fnd | fndr
                 k = jnp.int32(W - 1)
                 entry = es[W - 1]
                 for j in range(W - 2, -1, -1):
-                    hit_j = (fnd & (1 << j)) != 0
+                    hit_j = (both & (1 << j)) != 0
                     k = jnp.where(hit_j, jnp.int32(j), k)
                     entry = jnp.where(hit_j, es[j], entry)
                 iph = 4 * qp + k
-                return do_match_at(iph, anchor, cnt, missq,
-                                   entry & 0xFFFFFF)
+                # a rep candidate wins over the hash candidate (it codes
+                # as repcode 1 and needs no tag validation)
+                is_rep = (fndr >> k) & 1
+                cand_abs = jnp.where(is_rep != 0, base + iph - rep,
+                                     entry & 0xFFFFFF)
+                return do_match_at(iph, anchor, cnt, missq, rep, cand_abs)
 
             def no_hit(_):
                 # tail (< 12+W bytes to the limit): single-step to the end
-                st2 = (4 * q, anchor, cnt, missq)
+                st2 = (4 * q, anchor, cnt, missq, rep)
                 return jax.lax.while_loop(lambda s: s[0] < limit, body1,
                                           st2)
 
-            return jax.lax.cond((fnd != 0) & (cnt < cap), with_hit,
-                                no_hit, None)
+            return jax.lax.cond(((fnd | fndr) != 0) & (cnt < cap),
+                                with_hit, no_hit, None)
 
         ip0 = jnp.int32(block_bytes)
         return jax.lax.while_loop(
             lambda s: s[0] < limit, outer,
-            (ip0, ip0, jnp.int32(0), jnp.int32(0)))
+            (ip0, ip0, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
 
     def run(strict: bool):
         body1, dm = make_arm(strict)
@@ -740,7 +805,7 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
 
     @pl.when(strict_blk)
     def _():
-        ip, anchor, cnt, miss = run(True)
+        ip, anchor, cnt, miss, _rep = run(True)
         n_ref[0, 0, 0] = cnt
         n_ref[0, 0, 1] = anchor - block_bytes
         if debug_counters:
@@ -748,7 +813,7 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
 
     @pl.when(jnp.logical_not(strict_blk))
     def _():
-        ip, anchor, cnt, miss = run(False)
+        ip, anchor, cnt, miss, _rep = run(False)
         n_ref[0, 0, 0] = cnt
         n_ref[0, 0, 1] = anchor - block_bytes   # cover end, block-relative
 
@@ -756,7 +821,7 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
 @partial(jax.jit, static_argnames=("cap", "max_offset", "hash_log",
                                    "gate_bits", "min_match", "gated_policy",
                                    "strict_h16_x6", "strict_hash_bytes",
-                                   "lazy", "accel_log",
+                                   "rep_probe", "lazy", "accel_log",
                                    "dual", "debug_counters", "interpret"))
 def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
                            min_abs: jnp.ndarray, h16: jnp.ndarray,
@@ -767,6 +832,7 @@ def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
                            gated_policy: str = "halve",
                            strict_h16_x6: int = 480,
                            strict_hash_bytes: int = 8,
+                           rep_probe: bool = False,
                            lazy: int = 0, accel_log: int = 6,
                            dual: bool = False,
                            debug_counters: bool = False,
@@ -797,6 +863,7 @@ def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
                      gate_bits=gate_bits, min_match=min_match,
                      gated_policy=gated_policy, strict_h16_x6=strict_h16_x6,
                      strict_hash_bytes=strict_hash_bytes,
+                     rep_probe=rep_probe,
                      lazy=lazy, accel_log=accel_log, dual=dual,
                      debug_counters=debug_counters)
 

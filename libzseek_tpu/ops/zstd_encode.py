@@ -699,12 +699,15 @@ def level_search_params(level: int) -> dict:
         return dict(min_match=6, lazy=0, accel_log=5, dual=False)
     if level <= 3:    # default (the reference's ZSTD_CLEVEL_DEFAULT arm)
         return dict(min_match=5, lazy=0, accel_log=6, dual=False)
-    if level <= 8:    # greedy -> lazy
-        return dict(min_match=5, lazy=1, accel_log=8, dual=False)
+    if level <= 8:    # greedy -> lazy, + repcode probing
+        return dict(min_match=5, lazy=1, accel_log=8, dual=False,
+                    rep_probe=True)
     if level <= 15:   # dfast-style dual table + lazy2
-        return dict(min_match=5, lazy=2, accel_log=10, dual=True)
+        return dict(min_match=5, lazy=2, accel_log=10, dual=True,
+                    rep_probe=True)
     # 16+: dual table, lazy2, skip accelerator effectively off
-    return dict(min_match=5, lazy=2, accel_log=14, dual=True)
+    return dict(min_match=5, lazy=2, accel_log=14, dual=True,
+                rep_probe=True)
 
 
 def apply_ldm_override(seqs: dict, spans: np.ndarray, lengths: np.ndarray,
@@ -806,7 +809,9 @@ def zstd_sequences_linked(x2: jnp.ndarray, lengths: jnp.ndarray,
         gated_policy=os.environ.get("ZN_GATED_POLICY", "halve"),
         strict_h16_x6=int(os.environ.get("ZN_STRICT_X6", "480")),
         strict_hash_bytes=int(os.environ.get("ZN_STRICT_HB", "8")),
-        **level_search_params(level),
+        **{**level_search_params(level),
+           **({"rep_probe": True} if os.environ.get("ZN_REP_PROBE")
+              else {})},
         interpret=interpret)
     return _linked_post(x, lengths, ll, ml, offv, n_seq, cover, hist,
                         cap=ll.shape[1], lit_mask=lmask)
