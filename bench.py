@@ -59,7 +59,7 @@ def main():
     # capacities) depend on batch content, and each distinct bucket pays an
     # executable build/load through the tunnel on first use
     warm_mb = int(os.environ.get("BENCH_WARMUP_MB", str(total_mb)))
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    reps = int(os.environ.get("BENCH_REPS", "4"))
     run(warm_mb)  # compile warm-up (cached afterwards)
     # mean-of-N headline (VERDICT r3 #6); best and the raw reps ride along
     # so rounds stay comparable despite the tunneled link's +-30% noise

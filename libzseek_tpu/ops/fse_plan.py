@@ -28,6 +28,8 @@ offsets), so the state walk itself is unchanged.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -152,7 +154,6 @@ def _build_ctable(key, norm, log=None):
             dfs.astype(jnp.int32))
 
 
-@jax.jit
 def plan_seq_tables(ll, ml, offv, n_seq):
     """Choose per-block sequence-table modes and build the tables.
 
@@ -160,7 +161,19 @@ def plan_seq_tables(ll, ml, offv, n_seq):
     Returns (flags (B,) int32 MODE_* bits, ctabs (B, CTAB_WIDTH) int32
     per-block encode tables — predefined content where a stream is not
     FSE_Compressed — norms (B, NORM_WIDTH) int32 for host serialization,
-    rle_syms (B, 3) int32, est_gain_bits (B,) int32)."""
+    rle_syms (B, 3) int32, est_gain_bits (B,) int32).
+
+    The ZN_SEQTAB / ZN_SEQTAB_EST env knobs (A/B tooling) are read HERE,
+    outside the jit, and passed as static arguments — toggling them
+    mid-process retraces instead of being silently ignored."""
+    import os as _os
+    return _plan_seq_tables(ll, ml, offv, n_seq,
+                            _os.environ.get("ZN_SEQTAB", "auto"),
+                            _os.environ.get("ZN_SEQTAB_EST", "frac"))
+
+
+@partial(jax.jit, static_argnames=("seqtab", "est"))
+def _plan_seq_tables(ll, ml, offv, n_seq, seqtab, est):
     from libzseek_tpu.ops.zstd_encode import ll_code_dev, ml_code_dev, \
         _exp_of
     B, S = ll.shape
@@ -173,8 +186,7 @@ def plan_seq_tables(ll, ml, offv, n_seq):
         "of": jnp.where(valid & (offv > 0),
                         _exp_of(jnp.maximum(offv, 1)), 0),
     }
-    import os as _os
-    disabled = _os.environ.get("ZN_SEQTAB") == "off"
+    disabled = seqtab == "off"
     flags = jnp.zeros((B,), jnp.int32)
     norms_out = []
     ctab_parts = []
@@ -200,7 +212,7 @@ def plan_seq_tables(ll, ml, offv, n_seq):
             # formula as the predefined estimate so the comparison is
             # unbiased) + description bound at accuracy log `lg`
             norm, ok = _normalize(hist, lg)
-            if _os.environ.get("ZN_SEQTAB_EST", "frac") == "floor":
+            if est == "floor":
                 cb16 = jnp.where(
                     norm > 0,
                     (lg - _floor_log2(jnp.maximum(norm, 1))) * 16, 0)
@@ -220,7 +232,7 @@ def plan_seq_tables(ll, ml, offv, n_seq):
         # ZN_SEQTAB=nolog9 pins the default-log arm (A/B tooling;
         # same-tree measurements on the source corpus: tables-on beats
         # off by ~8 %, and the max-log arm beats default-log by ~3 %)
-        ok_m_gate = _os.environ.get("ZN_SEQTAB") != "nolog9"
+        ok_m_gate = seqtab != "nolog9"
         ok_d = ok_d & base_ok & (cost_d + 16 < bits_pd)
         ok_m = ok_m & base_ok & (cost_m + 16 < bits_pd) & ok_m_gate
         use_m = ok_m & (~ok_d | (cost_m < cost_d))

@@ -521,10 +521,12 @@ def entropy_emit_smem(x: jnp.ndarray, sll: jnp.ndarray, sml: jnp.ndarray,
 
     x: (B, N) uint8 raw block bytes (N multiple of 4); sll/sml/soff:
     (B, S) int32 post-gate sequences; meta: (B, 8) int32 = (block_len,
-    lit_count, n_seq, mode bits, stream sizes 0-3); codes: (B, 256) int32
-    packed Huffman codes ((value << 4) | nbits).  The per-stream byte
-    sizes (huffman_plan.plan_blocks with hist_q) position the 4 lockstep
-    literal streams; they MUST equal the emitted sizes exactly.
+    lit_count, n_seq, mode bits, 4 reserved columns); codes: (B, 256)
+    int32 packed Huffman codes ((value << 4) | nbits).  Columns 4-7 of
+    meta are NOT read by the kernel (emission is sequential per stream;
+    each stream's byte base comes from the previously emitted sizes) —
+    callers may pass the planner's per-stream size estimates there or
+    zeros, it makes no difference.
 
     Returns (lit_words (B, lit_cap//4) uint32, seq_words (B, seq_cap//4)
     uint32, osz (B, 8) int32 [4 stream sizes, seq_bytes, ...],

@@ -20,10 +20,7 @@ hosts' devices and the writing host materializes outputs in frame order.
 
 from __future__ import annotations
 
-import functools
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -64,11 +61,6 @@ def shard_rows(mesh: Mesh, *arrays):
     """device_put each array with rows sharded over the mesh."""
     sh = row_sharding(mesh)
     return tuple(jax.device_put(a, sh) for a in arrays)
-
-
-@functools.partial(jax.jit, static_argnames=("axis_name",))
-def _gather_lengths(lengths: jnp.ndarray, axis_name: str = FRAME_AXIS):
-    return lengths  # sharded->replicated materialization happens at get
 
 
 def gather_frame_lengths(lengths) -> np.ndarray:

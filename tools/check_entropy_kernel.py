@@ -84,7 +84,9 @@ fx = fse_encode_sequences(jnp.asarray(ll), jnp.asarray(ml),
 xs_stream, xs_sizes = np.asarray(fx[0]), np.asarray(fx[1])
 xa_bits, xa_states, xa_rep1 = [np.asarray(a) for a in fx[2]]
 
-meta = np.stack([lens, lit_count, n_seq, modes], axis=1).astype(np.int32)
+meta = np.concatenate(
+    [np.stack([lens, lit_count, n_seq, modes], axis=1),
+     np.zeros((B, 4), np.int32)], axis=1).astype(np.int32)
 codes_packed = ((code_vals << 4) | code_bits).astype(np.int32)
 k_lit, k_seq, k_osz, k_lanch, k_sanch = entropy_emit_smem(
     jnp.asarray(X), jnp.asarray(ll), jnp.asarray(ml), jnp.asarray(offv),
