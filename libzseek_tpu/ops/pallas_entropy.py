@@ -141,9 +141,30 @@ CTAB_PREDEF = _ctab_predef()
 MODE_LOG_SHIFT = {"ll": 12, "of": 16, "ml": 20}
 
 
-def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs, ctab,
+def _entropy_kernel(words, sll, sml, soff, meta, codes, pcodes, tabs, ctab,
                     lit_o, seq_o, osz, lanch, sanch, run_pos, run_cum,
-                    *, S: int, LITW: int, SEQW: int, LMAXA: int, SMAXA: int):
+                    *extra, S: int, LITW: int, SEQW: int, LMAXA: int,
+                    SMAXA: int, use_pairs: bool):
+    if use_pairs:
+        # pair-code mode: words/sll/sml/pcodes arrive as full HBM refs and
+        # are DMAed into SINGLE-buffered SMEM scratch — the pipelined
+        # window allocator double-buffers every operand, which together
+        # with the 256 KiB pair table would blow the 1 MiB SMEM budget
+        # (the kernel is compute-bound at ~300 us/block, so losing the
+        # copy/compute overlap costs ~nothing)
+        (words_s, sll_s, sml_s, pc_s, sem0, sem1, sem2, sem3) = extra
+        b = pl.program_id(0)
+        cps = [
+            pltpu.make_async_copy(words.at[pl.ds(b, 1)], words_s, sem0),
+            pltpu.make_async_copy(sll.at[pl.ds(b, 1)], sll_s, sem1),
+            pltpu.make_async_copy(sml.at[pl.ds(b, 1)], sml_s, sem2),
+            pltpu.make_async_copy(pcodes.at[pl.ds(b, 1)], pc_s, sem3),
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+        words, sll, sml, pcodes = words_s, sll_s, sml_s, pc_s
     O = _OFF
     blen = meta[0, 0, 0]
     lc = meta[0, 0, 1]
@@ -295,14 +316,34 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs, ctab,
                     nqd = (cntc - ha) >> 2
                     q0 = (ipos_hi - ha - 3) >> 2
 
-                    def quad_body(t, st):
-                        v4 = words[0, 0, q0 - t]
-                        p3 = codes[0, 0, (v4 >> 24) & 0xFF]
-                        p2 = codes[0, 0, (v4 >> 16) & 0xFF]
-                        p1 = codes[0, 0, (v4 >> 8) & 0xFF]
-                        p0 = codes[0, 0, v4 & 0xFF]
-                        st = pair(st, p3, p2)
-                        return pair(st, p1, p0)
+                    if use_pairs:
+                        # premerged 256x256 pair codes: one SMEM load
+                        # yields the already-merged (value, nbits) of two
+                        # literals, cutting the issue-bound quad body from
+                        # ~38 to ~29 ops (PERF.md roadmap #3)
+                        def quad_body(t, st):
+                            buf, nb, w, sb = st
+                            v4 = words[0, 0, q0 - t]
+                            t1 = pcodes[0, 0, (v4 >> 16) & 0xFFFF]
+                            t0 = pcodes[0, 0, v4 & 0xFFFF]
+                            cb1 = t1 & 31
+                            buf, nb, w = push(
+                                lit_o, (buf, nb, w),
+                                (t1 >> 5).astype(jnp.uint32), cb1)
+                            cb0 = t0 & 31
+                            buf, nb, w = push(
+                                lit_o, (buf, nb, w),
+                                (t0 >> 5).astype(jnp.uint32), cb0)
+                            return buf, nb, w, sb + cb1 + cb0
+                    else:
+                        def quad_body(t, st):
+                            v4 = words[0, 0, q0 - t]
+                            p3 = codes[0, 0, (v4 >> 24) & 0xFF]
+                            p2 = codes[0, 0, (v4 >> 16) & 0xFF]
+                            p1 = codes[0, 0, (v4 >> 8) & 0xFF]
+                            p0 = codes[0, 0, v4 & 0xFF]
+                            st = pair(st, p3, p2)
+                            return pair(st, p1, p0)
 
                     st = jax.lax.fori_loop(0, nqd, quad_body, st)
                     rem = cntc - ha - 4 * nqd
@@ -511,12 +552,28 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, tabs, ctab,
         jax.lax.fori_loop(0, n, rep_body, jnp.int32(1))
 
 
+@jax.jit
+def build_pair_codes(codes_packed: jnp.ndarray) -> jnp.ndarray:
+    """(B, 256) packed (val<<4|len) -> (B, 65536) premerged pair codes,
+    packed (pair_val << 5) | pair_len.  Index (a << 8) | b holds the
+    merged push for pair(codes[a], codes[b]) — codes[b] occupies the LOW
+    bits, matching the kernel's LSB-first push order."""
+    ca = codes_packed[:, :, None]          # pa: high byte of the index
+    cb = codes_packed[:, None, :]          # pb
+    la = ca & 15
+    v = (ca >> 4) | ((cb >> 4) << la)
+    ln = la + (cb & 15)
+    return ((v << 5) | ln).reshape(codes_packed.shape[0], 65536) \
+        .astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("S", "lit_cap", "seq_cap", "interpret"))
 def entropy_emit_smem(x: jnp.ndarray, sll: jnp.ndarray, sml: jnp.ndarray,
                       soff: jnp.ndarray, meta: jnp.ndarray,
                       codes: jnp.ndarray, S: int, lit_cap: int, seq_cap: int,
                       ctabs: jnp.ndarray | None = None,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      pcodes: jnp.ndarray | None = None):
     """Emit final entropy-coded streams per block row.
 
     x: (B, N) uint8 raw block bytes (N multiple of 4); sll/sml/soff:
@@ -540,8 +597,11 @@ def entropy_emit_smem(x: jnp.ndarray, sll: jnp.ndarray, sml: jnp.ndarray,
                 // LIT_ANCHOR_INTERVAL)
     SMAXA = max(1, (S + SEQ_ANCHOR_INTERVAL - 1) // SEQ_ANCHOR_INTERVAL)
     words = jax.lax.bitcast_convert_type(x.reshape(B, NW, 4), jnp.int32)
+    use_pairs = pcodes is not None
+    if not use_pairs:
+        pcodes = jnp.zeros((B, 1), jnp.int32)
     kernel = partial(_entropy_kernel, S=S, LITW=LITW, SEQW=SEQW,
-                     LMAXA=LMAXA, SMAXA=SMAXA)
+                     LMAXA=LMAXA, SMAXA=SMAXA, use_pairs=use_pairs)
 
     def smem(shape, const=False):
         if const:
@@ -559,11 +619,28 @@ def entropy_emit_smem(x: jnp.ndarray, sll: jnp.ndarray, sml: jnp.ndarray,
     if ctabs is None:
         ctabs = jnp.broadcast_to(jnp.asarray(CTAB_PREDEF)[None, :],
                                  (B, CTAB_WIDTH))
+    if use_pairs:
+        anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+        big_specs = [anyspec, anyspec, anyspec]
+        pc_spec = anyspec
+        extra_scratch = [pltpu.SMEM((1, 1, NW), jnp.int32),
+                         pltpu.SMEM((1, 1, S), jnp.int32),
+                         pltpu.SMEM((1, 1, S), jnp.int32),
+                         pltpu.SMEM((1, 1, 65536), jnp.int32),
+                         pltpu.SemaphoreType.DMA,
+                         pltpu.SemaphoreType.DMA,
+                         pltpu.SemaphoreType.DMA,
+                         pltpu.SemaphoreType.DMA]
+    else:
+        big_specs = [smem((B, 1, NW)), smem((B, 1, S)), smem((B, 1, S))]
+        pc_spec = smem((B, 1, pcodes.shape[1]))
+        extra_scratch = []
     lit_w, seq_w, osz, lanch, sanch = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[smem((B, 1, NW)), smem((B, 1, S)), smem((B, 1, S)),
-                  smem((B, 1, S)), smem((B, 1, 8)), smem((B, 1, 256)),
+        in_specs=big_specs +
+                 [smem((B, 1, S)), smem((B, 1, 8)), smem((B, 1, 256)),
+                  pc_spec,
                   smem((1, 1, _TABS.shape[0]), const=True),
                   smem((B, 1, CTAB_WIDTH))],
         out_specs=[smem((B, 1, LITW)), smem((B, 1, SEQW)), smem((B, 1, 8)),
@@ -576,11 +653,12 @@ def entropy_emit_smem(x: jnp.ndarray, sll: jnp.ndarray, sml: jnp.ndarray,
             jax.ShapeDtypeStruct((B, 1, 5 * SMAXA), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((S + 1,), jnp.int32),
-                        pltpu.SMEM((S + 1,), jnp.int32)],
+                        pltpu.SMEM((S + 1,), jnp.int32)] + extra_scratch,
         interpret=interpret,
     )(words.reshape(B, 1, NW), sll.reshape(B, 1, S), sml.reshape(B, 1, S),
       soff.reshape(B, 1, S), meta.reshape(B, 1, 8),
-      codes.reshape(B, 1, 256), tabs,
+      codes.reshape(B, 1, 256),
+      pcodes.reshape(B, 1, pcodes.shape[1]), tabs,
       ctabs.astype(jnp.int32).reshape(B, 1, CTAB_WIDTH))
     return (lit_w[:, 0], seq_w[:, 0], osz[:, 0],
             lanch[:, 0].reshape(B, 4, LMAXA),

@@ -679,13 +679,18 @@ def _linked_post(x, lengths, ll, ml, offv, n_seq, cover, hist, cap: int,
     lit_count = lengths - jnp.sum(ml_v, axis=1)
     hist_q = _hist_quarters(x, is_lit, lit_count)
     lit_hist = jnp.sum(hist_q, axis=1)
-    return dict(ll=jnp.where(valid, ll, 0), ml=ml_v, hist_q=hist_q,
-                offv=_rep1_rewrite(jnp.where(valid, offv, 0),
-                                   jnp.where(valid, ll, 0), valid),
-                n_seq=n_seq,
-                last_literals=lengths - cover,
-                lit_count=lit_count, hist=lit_hist,
-                const=_const_byte(x, lengths, in_range))
+    out = dict(ll=jnp.where(valid, ll, 0), ml=ml_v, hist_q=hist_q,
+               offv=_rep1_rewrite(jnp.where(valid, offv, 0),
+                                  jnp.where(valid, ll, 0), valid),
+               n_seq=n_seq,
+               last_literals=lengths - cover,
+               lit_count=lit_count, hist=lit_hist,
+               const=_const_byte(x, lengths, in_range))
+    if lit_mask is not None:
+        # pass the parse kernel's coverage bitmask through: the vectorized
+        # literal emitter (ops/vector_entropy.py) consumes it directly
+        out["lit_mask"] = lit_mask
+    return out
 
 
 def level_search_params(level: int) -> dict:
@@ -756,6 +761,22 @@ def apply_ldm_override(seqs: dict, spans: np.ndarray, lengths: np.ndarray,
     if lit_plane is not None and "literals" in seqs:
         out["literals"] = jnp.where(cm[:, None], jnp.asarray(lit_plane),
                                     seqs["literals"])
+    if "lit_mask" in seqs:
+        # covered rows' coverage bitmask is stale (their parse was
+        # skipped/replaced): rebuild it from the single LDM span — bytes
+        # [s, e) are the match, everything else is literal.  Word w holds
+        # bytes 32w..32w+31, bit i = byte 32w+i.
+        NW32 = seqs["lit_mask"].shape[1]
+        w0 = jnp.asarray(np.arange(NW32, dtype=np.int32))[None, :] * 32
+        lo = jnp.clip(sv[:, None] - w0, 0, 32).astype(jnp.uint32)
+        hi = jnp.clip(ev[:, None] - w0, 0, 32).astype(jnp.uint32)
+        ones = jnp.uint32(0xFFFFFFFF)
+        # bits [lo, hi) set: (ones << lo) & ~(ones << hi), shift-safe at 32
+        mlo = jnp.where(lo < 32, ones << lo, jnp.uint32(0))
+        mhi = jnp.where(hi < 32, ones << hi, jnp.uint32(0))
+        matchw = mlo & ~mhi
+        litw = (~matchw).astype(jnp.int32)
+        out["lit_mask"] = jnp.where(cm[:, None], litw, seqs["lit_mask"])
     return out
 
 

@@ -143,6 +143,14 @@ class ZstdCodec:
         from collections import deque
         self._cap_hint: int | None = None
         self._needs = deque([1], maxlen=8)
+        # adaptive vector-literal routing (ops/vector_entropy.py): on
+        # literal-heavy batches the dense VPU/MXU emitter beats the
+        # scalar SMEM loop ~4x (text: 78 -> ~16 ms per 8 MiB, mixed:
+        # ~17 -> ~13); the density of the PREVIOUS batch decides the next
+        # dispatch (no mid-dispatch device->host sync).  Starts True —
+        # literal-heavy is the common case — and flips off on
+        # highly-compressible batches
+        self._vec_hint = True
 
     def _parser_kind(self) -> str:
         """"linked" (persistent-table gated SMEM kernel, the TPU default),
@@ -420,14 +428,44 @@ class ZstdCodec:
             seqs["ll"], seqs["ml"], seqs["offv"], seqs["n_seq"])
         mode_bits = mode_bits | jnp.where(
             (mode_bits & pe.MODE_SEQ) != 0, sflags, 0)
+        import os as _os3
+        from libzseek_tpu.ops import vector_entropy as ve
+        vec_env = _os3.environ.get("ZN_VECLIT", "auto")
+        use_vec = (vec_env == "on"
+                   or (vec_env == "auto" and self._vec_hint)) \
+            and "lit_mask" in seqs and N == ve.N_BLOCK
+        if use_vec:
+            vec_mask = (((mode_bits & pe.MODE_HUF) != 0)
+                        & ((mode_bits & pe.MODE_HUF1) == 0)
+                        & (seqs["lit_count"] >= ve.VEC_MIN_LC))
+            kmode = jnp.where(vec_mask, mode_bits & ~pe.MODE_HUF,
+                              mode_bits)
+        else:
+            vec_mask = None
+            kmode = mode_bits
         meta = jnp.concatenate(
             [jnp.stack([lens_dev, seqs["lit_count"].astype(jnp.int32),
-                        seqs["n_seq"].astype(jnp.int32), mode_bits],
+                        seqs["n_seq"].astype(jnp.int32), kmode],
                        axis=1), sizes4.astype(jnp.int32)], axis=1)
+        # premerged pair-code table (256 KiB SMEM per block) halves the
+        # lookup+merge work in the issue-bound literal quad loop
+        import os as _os2
+        pcodes = None
+        if _os2.environ.get("ZN_PAIRS", "on") != "off":
+            pcodes = pe.build_pair_codes(codes_packed)
         lit_w, seq_w, osz, lanch, sanch = pe.entropy_emit_smem(
             x_dev, seqs["ll"], seqs["ml"], seqs["offv"], meta,
             codes_packed, S, lit_cap, seq_cap, ctabs=ctabs,
-            interpret=interp)
+            interpret=interp, pcodes=pcodes)
+        if vec_mask is not None:
+            vflat, vsz, vanch = ve.vector_literals(
+                x_dev, seqs["lit_mask"], codes_packed, lens_dev,
+                vec_mask, lit_cap, interpret=interp)
+            lit_w = jnp.where(vec_mask[:, None], vflat, lit_w)
+            osz = jnp.concatenate(
+                [jnp.where(vec_mask[:, None], vsz, osz[:, :4]),
+                 osz[:, 4:]], axis=1)
+            lanch = jnp.where(vec_mask[:, None, None], vanch, lanch)
         lit_bytes_dev = jnp.sum(osz[:, :4], axis=1)
         seq_bytes_dev = osz[:, 4]
         cap_words = self._cap_words_for(Bp * N // 4)
@@ -517,6 +555,14 @@ class ZstdCodec:
         mark("payload_fetch")
         self._needs.append(need)
         self._cap_hint = self._bucket_words(int(max(self._needs) * 1.4))
+        # vector-literal routing hint for the NEXT batch: total literal
+        # bytes of eligible 4-stream-Huffman rows vs the break-even point
+        # (vector path ~18 ms fixed per 8 MiB batch; scalar emission
+        # ~9.4 ns/literal -> ~2M literals)
+        from libzseek_tpu.ops import vector_entropy as _ve
+        elig = (mode[:B] == hp.M_HUF) & (lit_count[:B] >= _ve.VEC_MIN_LC)
+        vmin = int(os.environ.get("ZN_VECLIT_MIN", "2000000"))
+        self._vec_hint = int(lit_count[:B][elig].sum()) >= vmin
 
         from libzseek_tpu import native
         weights = hp.unpack_weights(weights_packed[:B])

@@ -105,17 +105,37 @@ def chain_to(which, dep):
         (mode_bits & pe.MODE_SEQ) != 0, sflags, 0)
     if which == "fseplan":
         return sflags[0] + norms[0, 0]
+    from libzseek_tpu.ops import vector_entropy as ve
+    use_vec = os.environ.get("ZN_VECLIT") == "on" and "lit_mask" in seqs
+    if use_vec:
+        vec_mask = (((mode_bits & pe.MODE_HUF) != 0)
+                    & ((mode_bits & pe.MODE_HUF1) == 0)
+                    & (seqs["lit_count"] >= ve.VEC_MIN_LC))
+        kmode = jnp.where(vec_mask, mode_bits & ~pe.MODE_HUF, mode_bits)
+    else:
+        vec_mask = None
+        kmode = mode_bits
     meta = jnp.concatenate(
         [jnp.stack([lens, seqs["lit_count"].astype(jnp.int32),
-                    seqs["n_seq"].astype(jnp.int32), mode_bits], axis=1),
+                    seqs["n_seq"].astype(jnp.int32), kmode], axis=1),
          sizes4.astype(jnp.int32)], axis=1)
     lit_cap = _ceil_to(N + 64, 128)
     seq_cap = _ceil_to(9 * CAP + 64, 128)
+    pc = None if os.environ.get("ZN_PAIRS", "on") == "off" \
+        else pe.build_pair_codes(codes_packed)
     lit_w, seq_w, osz, lanch, sanch = pe.entropy_emit_smem(
         x, seqs["ll"], seqs["ml"], seqs["offv"], meta,
-        codes_packed, CAP, lit_cap, seq_cap, ctabs=ctabs)
+        codes_packed, CAP, lit_cap, seq_cap, ctabs=ctabs, pcodes=pc)
+    if vec_mask is not None:
+        vflat, vsz, vanch = ve.vector_literals(
+            x, seqs["lit_mask"], codes_packed, lens, vec_mask, lit_cap)
+        lit_w = jnp.where(vec_mask[:, None], vflat, lit_w)
+        osz = jnp.concatenate(
+            [jnp.where(vec_mask[:, None], vsz, osz[:, :4]), osz[:, 4:]],
+            axis=1)
+        lanch = jnp.where(vec_mask[:, None, None], vanch, lanch)
     if which == "entropy":
-        return osz[0, 0] + osz[0, 4]
+        return osz[0, 0] + osz[0, 4] + lanch[0, 0, 0]
     lit_bytes_dev = jnp.sum(osz[:, :4], axis=1)
     flat, base_w, lw_w = compact_payload(
         lit_w, lit_bytes_dev, seq_w, osz[:, 4], 1 << 20)
