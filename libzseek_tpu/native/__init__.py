@@ -58,6 +58,10 @@ def _load():
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64]
         lib.zn_zir_execute.restype = ctypes.c_int64
+    if hasattr(lib, "zn_huf_decode_batch"):
+        lib.zn_huf_decode_batch.argtypes = [
+            u8p, i64p, ctypes.c_int64, i32p, ctypes.c_int64, u8p, i64p]
+        lib.zn_huf_decode_batch.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -168,6 +172,34 @@ def zir_execute(lits, lit_n: int, toks, n_seq: int,
     return int(lib.zn_zir_execute(
         lp, lit_n, toks.ctypes.data, n_seq,
         out.ctypes.data, out.shape[0], base))
+
+
+def huf_decode_batch(streams: bytes, lane_meta: np.ndarray,
+                     weights: np.ndarray, out_size: int,
+                     out_off: np.ndarray) -> np.ndarray | None:
+    """Host-side 4-stream Huffman literal decode (zn_huf_decode_batch).
+
+    streams: concatenated lane bitstreams; lane_meta (L, 4) int64 =
+    (stream offset, stream bytes, n_out, table id); weights (T, 256)
+    int32 zstd weights; out_off (L,) int64 output byte offsets into the
+    returned (out_size,) uint8 buffer.  None when the native library is
+    missing or a lane is malformed (caller falls back to device decode)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "zn_huf_decode_batch"):
+        return None
+    lane_meta = np.ascontiguousarray(lane_meta, np.int64)
+    weights = np.ascontiguousarray(weights, np.int32)
+    out_off = np.ascontiguousarray(out_off, np.int64)
+    out = np.empty(max(1, out_size), np.uint8)
+    sbuf = np.frombuffer(streams, np.uint8) if streams \
+        else np.zeros(1, np.uint8)
+    r = lib.zn_huf_decode_batch(
+        np.ascontiguousarray(sbuf), lane_meta.reshape(-1),
+        lane_meta.shape[0], weights.reshape(-1), weights.shape[0],
+        out, out_off)
+    if r != lane_meta.shape[0]:
+        return None
+    return out
 
 
 def ldm_scan(x: np.ndarray, nblocks: int, bsize: int,

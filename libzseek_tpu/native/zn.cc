@@ -810,3 +810,127 @@ int64_t zn_ldm_scan(const uint8_t* x, int64_t nblocks, int64_t bsize,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host-side 4-stream Huffman literal decode (the decode escape hatch's
+// literal half): through a narrow host<->device link, shipping the
+// COMPRESSED literal streams and expanding them here beats downloading the
+// regenerated literal bytes from the device (ops/zstd_decode.py transcode
+// path; reference counterpart HUF_decompress4X inside ZSTD_decompressDCtx,
+// /root/reference/src/decompress.c:537).
+
+namespace {
+
+struct HufBitRead {
+  const uint8_t* start;
+  const uint8_t* ptr;
+  uint64_t container;
+  unsigned consumed;
+};
+
+int huf_br_init(HufBitRead* br, const uint8_t* src, int64_t n) {
+  if (n < 1 || src[n - 1] == 0) return -1;
+  br->start = src;
+  if (n >= 8) {
+    br->ptr = src + n - 8;
+    uint64_t c = 0;
+    std::memcpy(&c, br->ptr, 8);
+    br->container = c;
+    br->consumed = 8 - highbit(src[n - 1]);  // padding + sentinel
+  } else {
+    br->ptr = src;
+    uint64_t c = 0;
+    std::memcpy(&c, src, (size_t)n);
+    br->container = c << (8 * (8 - n));   // last byte lands on top
+    br->consumed = 8 - highbit(src[n - 1]);  // padding + sentinel
+  }
+  return 0;
+}
+
+inline uint32_t huf_br_peek(const HufBitRead* br, unsigned nbits) {
+  return (uint32_t)((br->container << br->consumed) >> (64 - nbits));
+}
+
+inline void huf_br_reload(HufBitRead* br) {
+  while (br->consumed >= 8 && br->ptr > br->start) {
+    br->ptr--;
+    br->container = (br->container << 8) | br->ptr[0];
+    br->consumed -= 8;
+  }
+}
+
+int huf_dtable_from_weights(const int32_t* w, int32_t* dt, int* tl_out) {
+  uint32_t total = 0;
+  int32_t lengths[256];
+  int32_t codes[256];
+  for (int s2 = 0; s2 < 256; ++s2)
+    if (w[s2] > 0) total += 1u << (w[s2] - 1);
+  if (!total || (total & (total - 1))) return -1;
+  int tl = highbit(total);
+  if (tl < 1 || tl > 12) return -1;
+  for (int s2 = 0; s2 < 256; ++s2)
+    lengths[s2] = w[s2] > 0 ? tl + 1 - w[s2] : 0;
+  int max_used = 0;
+  canonical_codes(lengths, codes, &max_used);
+  std::fill(dt, dt + (1 << tl), 0);
+  for (int s2 = 0; s2 < 256; ++s2) {
+    int l = lengths[s2];
+    if (l > 0) {
+      int64_t start2 = (int64_t)codes[s2] << (tl - l);
+      int64_t span = (int64_t)1 << (tl - l);
+      int32_t e = (l << 8) | s2;
+      for (int64_t k = 0; k < span; ++k) dt[start2 + k] = e;
+    }
+  }
+  *tl_out = tl;
+  return tl;
+}
+
+}  // namespace
+
+extern "C" {
+
+// lane_meta: 4 int64 per lane = (stream offset, stream bytes, n_out,
+// table id); weights: (ntabs, 256) int32 zstd weights (implied-last
+// resolved); out_off: per-lane output byte offsets.  Returns decoded
+// lanes, or a negative lane index - 1 on the first malformed lane.
+int64_t zn_huf_decode_batch(const uint8_t* streams,
+                            const int64_t* lane_meta, int64_t nlanes,
+                            const int32_t* weights, int64_t ntabs,
+                            uint8_t* out, const int64_t* out_off) {
+  std::vector<int32_t> dts((size_t)ntabs << 12);
+  std::vector<int> tls((size_t)ntabs, -2);
+  for (int64_t ln = 0; ln < nlanes; ++ln) {
+    const int64_t off = lane_meta[4 * ln];
+    const int64_t nbytes = lane_meta[4 * ln + 1];
+    const int64_t n_out = lane_meta[4 * ln + 2];
+    const int64_t tid = lane_meta[4 * ln + 3];
+    if (tid < 0 || tid >= ntabs) return -ln - 1;
+    if (tls[tid] == -2) {
+      int tl = 0;
+      if (huf_dtable_from_weights(weights + 256 * tid,
+                                  dts.data() + ((size_t)tid << 12),
+                                  &tl) < 0) {
+        tls[tid] = -1;
+      } else {
+        tls[tid] = tl;
+      }
+    }
+    const int tl = tls[tid];
+    if (tl < 0) return -ln - 1;
+    const int32_t* dt = dts.data() + ((size_t)tid << 12);
+    HufBitRead br;
+    if (huf_br_init(&br, streams + off, nbytes) < 0) return -ln - 1;
+    uint8_t* o = out + out_off[ln];
+    for (int64_t i = 0; i < n_out; ++i) {
+      huf_br_reload(&br);
+      const int32_t e = dt[huf_br_peek(&br, (unsigned)tl)];
+      o[i] = (uint8_t)(e & 0xFF);
+      br.consumed += (unsigned)(e >> 8);
+      if (br.consumed > 64) return -ln - 1;  // malformed: ran dry
+    }
+  }
+  return nlanes;
+}
+
+}  // extern "C"

@@ -192,7 +192,8 @@ def hash_parse_blocks_smem(x: jnp.ndarray, lengths: jnp.ndarray,
 
 
 def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
-                         off_ref, n_ref, mask_ref, table_ref, *, cap: int,
+                         off_ref, n_ref, mask_ref, table_ref, *extra,
+                         cap: int,
                          max_offset: int, hash_log: int, block_bytes: int,
                          gate_bits: int, min_match: int,
                          gated_policy: str = "halve",
@@ -202,11 +203,22 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
                          variant: str = "quad",
                          lazy: int = 0, accel_log: int = 6,
                          dual: bool = False,
-                         debug_counters: bool = False):
+                         debug_counters: bool = False,
+                         dma_words: bool = False):
     # win_ref: ONE 2-block SMEM stream per grid step (prev block || cur
     # block, pre-concatenated on device).  Two separate SMEM input streams
     # with shifted windows measured ~15x slower per grid step than one
     # wide stream — SMEM stream DMA dominates the whole parse otherwise.
+    if dma_words:
+        # hash_log >= 17: the 512 KiB table only fits SMEM if the window
+        # stream is single-buffered — DMA it manually from HBM (the parse
+        # is compute-bound; losing copy/compute overlap costs ~nothing)
+        win_s, sem = extra
+        bq = pl.program_id(0)
+        cp = pltpu.make_async_copy(win_ref.at[pl.ds(bq, 1)], win_s, sem)
+        cp.start()
+        cp.wait()
+        win_ref = win_s
     WW = win_ref.shape[2]           # words per window (2 blocks)
     tab_size = 1 << hash_log
     assert hash_log >= 8
@@ -324,12 +336,17 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
     # byte matches never reach the extend/backward/gate work at all.
 
     def make_arm(strict: bool):
-        # dual (zstd dfast analog, levels >= 9): the table splits into a
-        # 2^(hl-1)-entry short-hash (5 B) half and a 2^(hl-2)-entry
-        # long-hash (8 B) quarter; every position probes and seeds both,
-        # preferring the long candidate.  Only the high-entropy arm —
-        # the strict arm's single 8-byte hash already skips short matches.
+        # dual (zstd dfast analog): the table splits into a 2^(hl-1)-entry
+        # short-hash (5 B) half and a 2^(hl-2)-entry long-hash (8 B)
+        # quarter; every position probes and seeds both, preferring the
+        # long candidate.  In the STRICT (low-entropy text) arm the short
+        # candidate confirms on 4 bytes and faces the profitability gate —
+        # without this every 5-7 byte match is invisible there (the strict
+        # single hash needs 8 agreeing bytes), which measured as the whole
+        # structured-text coverage gap vs ZSTD_fast (68% vs 92%).
         dual_arm = dual and not strict
+        dual_s = dual and strict
+        dual_any = dual_arm or dual_s
         SL = hash_log - 1
         LOFF = 1 << SL
 
@@ -396,12 +413,12 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
         def insert_at(p):
             # clamped variant for in-match inserts (may sit near the end)
             w, ext4 = _load3(p, True)
-            if strict:
-                h, tagb = h_tagb(sig_u(w, ext4))
-            elif dual_arm:
+            if dual_any:
                 h_l, tb_l = h_tagb_sub(sig_long(w, ext4), SL - 1, LOFF)
                 table_ref[h_l] = (base + p) | tb_l
                 h, tagb = h_tagb_sub(sig_u(w, ext4 & 0xFF), SL, 0)
+            elif strict:
+                h, tagb = h_tagb(sig_u(w, ext4))
             else:
                 h, tagb = h_tagb(sig_u(w, ext4 & 0xFF))
             table_ref[h] = (base + p) | tagb
@@ -421,7 +438,7 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
             for _lz in range(lazy):
                 def try_next(args):
                     ip, cand_abs, l, conf = args
-                    h2, tagb2 = (probe_sig_long(ip + 1) if dual_arm
+                    h2, tagb2 = (probe_sig_long(ip + 1) if dual_any
                                  else probe_sig(ip + 1))
                     e2 = table_ref[h2]
                     pos2 = base + ip + 1
@@ -543,7 +560,8 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
             return (ipn, jnp.where(keep, ip + l, anchor),
                     cnt + keep, missn, jnp.where(keep, dist, rep))
 
-        def do_match_at(ip, anchor, cnt, miss, rep, cand_abs):
+        def do_match_at(ip, anchor, cnt, miss, rep, cand_abs,
+                        short4=False):
             if debug_counters:
                 n_ref[0, 0, 4] = n_ref[0, 0, 4] + 1
             """Confirm the candidate's bytes, then either the full match
@@ -555,7 +573,10 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
             The capped probe (two word compares) computes the exact
             length for l < 8 and replicates the gated path's state
             transition bit-for-bit, including the one table reseed and
-            the no-backward-rescue precondition."""
+            the no-backward-rescue precondition.
+
+            short4: the candidate came from the dual arm's 5-byte table —
+            4-byte confirmation suffices (the gate prices the result)."""
             cand = cand_abs - base
             conf4 = w32(cand) == w32_c(ip)
             if strict:
@@ -563,9 +584,12 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
                     (w32(cand + 4).astype(jnp.uint32) & SH_MASK) ==
                     (w32_c(ip + 4).astype(jnp.uint32) & SH_MASK))
                 # a rep-distance candidate skips the 8-byte confirmation:
-                # short rep matches are profitable (see the cheap gate)
+                # short rep matches are profitable (see the cheap gate);
+                # so does a short-table candidate (dual_s)
                 conf = conf | (conf4 & (base + ip - cand_abs == rep) &
                                (cnt > 0))
+                if dual_s:
+                    conf = conf | (conf4 & short4)
                 return do_match_full(ip, anchor, cnt, miss, rep, cand_abs,
                                      conf)
             x2 = (w32(cand + 4) ^ w32_c(ip + 4)).astype(jnp.uint32)
@@ -621,7 +645,7 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
                     (w32(jnp.maximum(ip - rep, 0)) == w32_c(ip))
             else:
                 rep_hit = jnp.bool_(False)
-            if dual_arm:
+            if dual_any:
                 h_s, tb_s, h_l, tb_l = probe_both(ip)
                 e_s = table_ref[h_s]
                 e_l = table_ref[h_l]
@@ -631,6 +655,7 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
                 table_ref[h_s] = pos | tb_s
                 table_ref[h_l] = pos | tb_l
                 entry = jnp.where(good_l, e_l, e_s)
+                short4 = good_s & ~good_l
             else:
                 h, tagb = probe_sig(ip)
                 entry = table_ref[h]
@@ -640,7 +665,9 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
 
             def hit(_):
                 cand_abs = jnp.where(rep_hit, pos - rep, entry & 0xFFFFFF)
-                return do_match_at(ip, anchor, cnt, miss, rep, cand_abs)
+                s4 = (short4 & ~rep_hit) if dual_any else False
+                return do_match_at(ip, anchor, cnt, miss, rep, cand_abs,
+                                   s4)
 
             def do_miss(_):
                 return (ip + 1 + (miss >> accel_log), anchor, cnt,
@@ -787,9 +814,9 @@ def _parse_linked_kernel(win_ref, meta_ref, ll_ref, ml_ref,
 
     def run(strict: bool):
         body1, dm = make_arm(strict)
-        # the quad loop probes the single-table domain; the dual arm
-        # single-steps (high levels trade probe throughput for search)
-        if variant == "quad" and not (dual and not strict):
+        # the quad loop probes the single-table domain; the dual arms
+        # single-step (high levels trade probe throughput for search)
+        if variant == "quad" and not dual:
             return make_quad(strict, body1, dm)
         return run_single(body1)
 
@@ -878,10 +905,16 @@ def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
     # ONE wide SMEM input stream (prev || cur), concatenated on device:
     # two shifted SMEM streams of the same array measured ~15x slower
     wide = jnp.concatenate([words[:-1], words[1:]], axis=1)
+    dma_words = hash_log >= 17
+    kernel = partial(kernel, dma_words=dma_words)
+    win_spec = pl.BlockSpec(memory_space=pltpu.ANY) if dma_words \
+        else smem((B, 1, 2 * NW))
+    extra_scratch = [pltpu.SMEM((1, 1, 2 * NW), jnp.int32),
+                     pltpu.SemaphoreType.DMA] if dma_words else []
     ll, ml, off, nn, lmask = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[smem((B, 1, 2 * NW)), smem((B, 1, 3))],
+        in_specs=[win_spec, smem((B, 1, 3))],
         out_specs=[smem((B, 1, cap)), smem((B, 1, cap)), smem((B, 1, cap)),
                    smem((B, 1, NC)), smem((B, 1, NWM))],
         out_shape=[
@@ -891,7 +924,8 @@ def zstd_parse_linked_smem(x2: jnp.ndarray, lengths: jnp.ndarray,
             jax.ShapeDtypeStruct((B, 1, NC), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, NWM), jnp.int32),
         ],
-        scratch_shapes=[pltpu.SMEM((1 << hash_log,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((1 << hash_log,), jnp.int32)]
+        + extra_scratch,
         interpret=interpret,
     )(wide.reshape(B, 1, 2 * NW), meta.reshape(B, 1, 3))
     if debug_counters:

@@ -972,6 +972,14 @@ def _try_decode_transcode(plans, hufreg: _HufReg, fsereg: _FseReg,
         return None
     from libzseek_tpu.ops import pallas_decode as pd
 
+    # host-side Huffman literal decode (zn_huf_decode_batch): through a
+    # narrow link, shipping the COMPRESSED literal streams and expanding
+    # on the host beats downloading regenerated literal bytes — on the
+    # 32 MB mixed corpus this cuts the device->host fetch from ~55% of
+    # content to ~30%.  The device still decodes the FSE sequence streams.
+    hostlit = (_os4.environ.get("ZN_HOSTLIT", "on") != "off"
+               and hasattr(native._load(), "zn_huf_decode_batch"))
+
     rows = []    # (bp, content, d_off, mode, dev_lit, regen, lit_words,
                  #   splittable)
     frames = []  # per frame: ('host', d_off, content, bytes) |
@@ -1000,6 +1008,8 @@ def _try_decode_transcode(plans, hufreg: _HufReg, fsereg: _FseReg,
             dev_lit = bool(bp.huf_lanes)
             regen = (sum(l.n_out for l in bp.huf_lanes) if dev_lit
                      else len(bp.lit_direct or b""))
+            if dev_lit and hostlit:
+                dev_lit = False           # lanes decode on the host
             lw = ((regen + 3) // 4) if dev_lit else 0
             if lw + 2 * bp.n_seq > (1 << 15) or regen > zf.BLOCK_MAX:
                 return None
@@ -1138,6 +1148,35 @@ def _try_decode_transcode(plans, hufreg: _HufReg, fsereg: _FseReg,
             lit_of_row[lo + i] = (lit_bytes, 4 * int(lit_prefix[i]))
             tok_of_row[lo + i] = (tok_np, int(tok_prefix[i]))
 
+    # --- host Huffman literal decode for the host-lit rows ---
+    hl_off: dict[int, int] = {}
+    hl_lits = None
+    if hostlit:
+        sparts: list[bytes] = []
+        lmeta: list[tuple] = []
+        lane_out: list[int] = []
+        spos = opos = 0
+        for fr in frames:
+            for e in fr:
+                if e[0] != "row":
+                    continue
+                _, ri, d0, content, bp, dev_lit, regen = e
+                if dev_lit or not bp.huf_lanes:
+                    continue
+                hl_off[ri] = opos
+                for l in bp.huf_lanes:
+                    sparts.append(l.stream)
+                    lmeta.append((spos, len(l.stream), l.n_out, l.tid))
+                    lane_out.append(opos)
+                    spos += len(l.stream)
+                    opos += l.n_out
+        if lmeta:
+            hl_lits = native.huf_decode_batch(
+                b"".join(sparts), np.asarray(lmeta, np.int64), W, opos,
+                np.asarray(lane_out, np.int64))
+            if hl_lits is None:
+                return None
+
     # --- host execution ---
     results: list[bytes] = []
     for p, fr in zip(plans, frames):
@@ -1154,6 +1193,9 @@ def _try_decode_transcode(plans, hufreg: _HufReg, fsereg: _FseReg,
             if dev_lit:
                 larr, loff = lit_of_row[ri]
                 lits = larr[loff: loff + regen]
+            elif bp.huf_lanes and hl_lits is not None:
+                o0 = hl_off[ri]
+                lits = hl_lits[o0: o0 + regen]
             else:
                 lits = np.frombuffer(bp.lit_direct or b"", np.uint8)
             ret = native.zir_execute(lits, regen, toks, bp.n_seq, out, d0)

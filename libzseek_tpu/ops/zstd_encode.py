@@ -37,6 +37,8 @@ from libzseek_tpu.ops import match as M
 import os as _os
 
 GATE_FIXED_BITS = int(_os.environ.get("ZN_GATE_BITS", "14"))
+# sort-parser gate: fixed per-sequence bits on top of the offset extras
+SORT_GATE_BITS = float(_os.environ.get("ZN_SORT_GATE", "20"))
 
 # --- small constant code tables (device-resident) ---
 _LL_CODE_TAB64 = np.searchsorted(zf._LL_BASE, np.arange(64), side="right") - 1
@@ -116,7 +118,7 @@ def zstd_sequences(x: jnp.ndarray, lengths: jnp.ndarray, *,
                  axis=1)
     H = jnp.clip(H, 1.0, 8.0)[:, None]
     mlen = (e - p).astype(jnp.float32)
-    cost = 20.0 + _exp_of(jnp.maximum(off + 3, 1)).astype(jnp.float32)
+    cost = SORT_GATE_BITS + _exp_of(jnp.maximum(off + 3, 1)).astype(jnp.float32)
     has = has & (mlen * H > cost)
     sel, start, end, off, lit_from, c_final = M.greedy_select(
         p, off, e, has, lengths, min_tail=4)
@@ -434,7 +436,7 @@ def _fast_post(x, lengths, ll, ml, offv, n_seq, cover, cap: int):
     H = -jnp.sum(jnp.where(pr > 0, pr * jnp.log2(jnp.maximum(pr, 1e-9)),
                            0.0), axis=1)
     H = jnp.clip(H, 1.0, 8.0)[:, None]
-    cost = 20.0 + _exp_of(jnp.maximum(offv, 1)).astype(jnp.float32)
+    cost = SORT_GATE_BITS + _exp_of(jnp.maximum(offv, 1)).astype(jnp.float32)
     keep = valid & (ml.astype(jnp.float32) * H > cost)
     # recompact survivors; literal runs between them re-join automatically
     rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
@@ -490,7 +492,7 @@ def _fast_post_nolit(x, lengths, ll, ml, offv, n_seq, cover, cap: int):
     H = -jnp.sum(jnp.where(pr > 0, pr * jnp.log2(jnp.maximum(pr, 1e-9)),
                            0.0), axis=1)
     H = jnp.clip(H, 1.0, 8.0)[:, None]
-    cost = 20.0 + _exp_of(jnp.maximum(offv, 1)).astype(jnp.float32)
+    cost = SORT_GATE_BITS + _exp_of(jnp.maximum(offv, 1)).astype(jnp.float32)
     keep = valid & (ml.astype(jnp.float32) * H > cost)
     rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
     n2 = jnp.sum(keep.astype(jnp.int32), axis=1)
@@ -608,23 +610,58 @@ def _hist_quarters(x, is_lit, lit_count):
 
 
 def _rep1_rewrite(offv, ll, valid):
-    """Code repeated distances as repcode 1 (RFC 8878 §3.1.1.5: with
-    litLength != 0, offset_value 1 resolves to the previous sequence's
-    offset).  Any sequence whose distance equals its predecessor's saves
-    the log2(d) offset extra bits plus most of the FSE symbol — the
-    dominant sequence-section cost on periodic data.  The first sequence
-    of a block and ll == 0 sequences (different rep semantics) keep their
-    explicit offsets, so block-parallel decode stays self-contained.
-    libzstd gets the same effect from its repcode search
+    """Code repeated distances as repcodes (RFC 8878 §3.1.1.5: with
+    litLength != 0, offset_value 1/2/3 resolve to the three most recent
+    offsets).  A rep sequence saves the log2(d) offset extra bits plus
+    most of the FSE symbol — the dominant sequence-section cost on
+    structured data.  ZN_REP1=off disables; ZN_REP1=first keeps only the
+    consecutive-equal rep1 rewrite (the pre-r5 behavior).
+
+    The full rewrite SIMULATES the decoder's repeat-offset state machine
+    (scan over the sequence axis): rep slots only become eligible once
+    written by an in-block explicit offset, so blocks stay
+    self-decodable regardless of what preceded them.  ll == 0 sequences
+    (shifted rep semantics) and each block's first sequence stay
+    explicit.  libzstd gets the same effect from its repcode search
     (/root/reference/src/compress.c:666 delegating to ZSTD_compress2)."""
-    if _os.environ.get("ZN_REP1") == "off":
+    mode = _os.environ.get("ZN_REP1", "full")
+    if mode == "off":
         return offv
     cap = offv.shape[1]
     idxs = jnp.broadcast_to(np.arange(cap, dtype=np.int32)[None, :],
                             offv.shape)
     prev = jnp.pad(offv[:, :-1], ((0, 0), (1, 0)))
-    is_rep = valid & (idxs > 0) & (offv == prev) & (ll > 0) & (offv > 3)
-    return jnp.where(is_rep, 1, offv)
+    is_rep1 = valid & (idxs > 0) & (offv == prev) & (ll > 0) & (offv > 3)
+    if mode == "first":
+        return jnp.where(is_rep1, 1, offv)
+
+    def step(state, x):
+        r1, r2, r3 = state
+        ov, ll_i, ok = x
+        dist = ov - 3
+        explicit_ok = ok & (ov > 3)
+        # slots initialized to an impossible sentinel (< 1) stand in for
+        # "carried in from outside the block" — they can never match, so
+        # a slot only becomes rep-eligible once written in-block
+        hit1 = explicit_ok & (ll_i > 0) & (dist == r1)
+        hit2 = explicit_ok & (ll_i > 0) & (dist == r2) & ~hit1
+        hit3 = explicit_ok & (ll_i > 0) & (dist == r3) & ~hit1 & ~hit2
+        out = jnp.where(hit1, 1,
+                        jnp.where(hit2, 2, jnp.where(hit3, 3, ov)))
+        # decoder state update (RFC 8878: rep1 leaves the order; rep2
+        # swaps R1,R2; rep3 rotates; explicit pushes).  In every
+        # explicit_ok case the new R1 is the resolved distance.
+        n1 = jnp.where(explicit_ok, dist, r1)
+        n2 = jnp.where(explicit_ok & ~hit1, r1, r2)
+        n3 = jnp.where(hit3 | (explicit_ok & ~hit1 & ~hit2), r2, r3)
+        return (n1, n2, n3), out
+
+    B = offv.shape[0]
+    z = jnp.full((B,), -(1 << 30), jnp.int32)
+    _, out = jax.lax.scan(
+        step, (z, z, z),
+        (offv.T, ll.T, valid.T))
+    return out.T
 
 
 @jax.jit
@@ -704,15 +741,21 @@ def level_search_params(level: int) -> dict:
         return dict(min_match=6, lazy=0, accel_log=5, dual=False)
     if level <= 3:    # default (the reference's ZSTD_CLEVEL_DEFAULT arm)
         return dict(min_match=5, lazy=0, accel_log=6, dual=False)
-    if level <= 8:    # greedy -> lazy, + repcode probing
-        return dict(min_match=5, lazy=1, accel_log=8, dual=False,
-                    rep_probe=True)
-    if level <= 15:   # dfast-style dual table + lazy2
+    if level <= 8:    # lazy + dual table + repcode probing + open gate
+        # dual's 5-byte sub-table with 4-byte confirmation surfaces the
+        # 5-7 byte matches the strict 8-byte hash cannot see, and the
+        # gate charge drops to the REALIZED per-sequence cost under the
+        # per-block FSE tables (~7 bits + offset extras) — together with
+        # 64 KiB blocks (runtime/zstd_codec.py) this took the frozen
+        # source corpus from 1.31x to 1.10x the reference config (r5)
+        return dict(min_match=5, lazy=1, accel_log=8, dual=True,
+                    rep_probe=True, gate_bits=7)
+    if level <= 15:   # dual table + lazy2
         return dict(min_match=5, lazy=2, accel_log=10, dual=True,
-                    rep_probe=True)
+                    rep_probe=True, gate_bits=7)
     # 16+: dual table, lazy2, skip accelerator effectively off
     return dict(min_match=5, lazy=2, accel_log=14, dual=True,
-                rep_probe=True)
+                rep_probe=True, gate_bits=7)
 
 
 def apply_ldm_override(seqs: dict, spans: np.ndarray, lengths: np.ndarray,
@@ -826,13 +869,17 @@ def zstd_sequences_linked(x2: jnp.ndarray, lengths: jnp.ndarray,
     # covered blocks); literal stats below still use the real lengths
     pl = lengths if parse_lengths is None else parse_lengths
     ll, ml, offv, n_seq, cover, lmask = zstd_parse_linked_smem(
-        x2, pl, min_abs, h16, gate_bits=GATE_FIXED_BITS,
+        x2, pl, min_abs, h16,
+        hash_log=int(os.environ.get("ZN_HLOG", "16")),
         gated_policy=os.environ.get("ZN_GATED_POLICY", "halve"),
         strict_h16_x6=int(os.environ.get("ZN_STRICT_X6", "480")),
         strict_hash_bytes=int(os.environ.get("ZN_STRICT_HB", "8")),
-        **{**level_search_params(level),
+        **{"gate_bits": GATE_FIXED_BITS,
+           **level_search_params(level),
            **({"rep_probe": True} if os.environ.get("ZN_REP_PROBE")
-              else {})},
+              else {}),
+           **({"gate_bits": int(os.environ["ZN_GATE_BITS"])}
+              if os.environ.get("ZN_GATE_BITS") else {})},
         interpret=interpret)
     return _linked_post(x, lengths, ll, ml, offv, n_seq, cover, hist,
                         cap=ll.shape[1], lit_mask=lmask)

@@ -34,7 +34,14 @@ from libzseek_tpu.ops.zstd_encode import (compact_payload,
                                           huffman_encode_literals,
                                           zstd_sequences)
 
-BLOCK = zf.BLOCK_MAX  # 128 KiB
+import os as _os
+
+# Block size: the format's 128 KiB maximum by default.  Smaller blocks
+# double the per-byte sequence budget (the parse cap is 8192 sequences
+# per block — the binding constraint on dense structured text, where
+# stock needs ~12K sequences per 128 KiB for full match coverage) at the
+# price of more table/header overhead per byte.
+BLOCK = min(int(_os.environ.get("ZN_BLOCK", zf.BLOCK_MAX)), zf.BLOCK_MAX)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -130,6 +137,15 @@ class ZstdCodec:
         self.max_len = 32 if level <= 1 else 48
         self.max_batch_blocks = max_batch_blocks
         self.collect_hints = collect_hints
+        # block size: levels >= 4 default to 64 KiB blocks — halving the
+        # block doubles the per-byte sequence budget (the 8192-per-block
+        # parse cap is THE match-coverage bound on dense structured text;
+        # see PERF.md r5) for ~1% table-overhead cost.  ZN_BLOCK overrides
+        # both arms.
+        if _os.environ.get("ZN_BLOCK"):
+            self.block = BLOCK
+        else:
+            self.block = 65536 if level >= 4 else BLOCK
         # LZ77 parser: the SMEM hash-probe Pallas kernel (zstd-fast's own
         # algorithm on the TPU core) on real TPUs, the sort-based exact
         # pipeline elsewhere (CPU tests, interpret mode)
@@ -187,15 +203,14 @@ class ZstdCodec:
         Writer flushes."""
         return _ZstdStream(self, return_hints, depth)
 
-    @staticmethod
-    def _frame_spans(frames):
+    def _frame_spans(self, frames):
         spans = []
         for fi, fr in enumerate(frames):
             n = len(fr)
             if n == 0:
                 continue
-            for s in range(0, n, BLOCK):
-                spans.append((fi, s, min(BLOCK, n - s)))
+            for s in range(0, n, self.block):
+                spans.append((fi, s, min(self.block, n - s)))
         return spans
 
     def _assemble_frames(self, frames, spans, block_payloads, block_hints):
@@ -207,7 +222,7 @@ class ZstdCodec:
             head = zf.build_frame_header(n, single_segment=True)
             body = bytearray(head)
             fhints = []
-            nblocks = math.ceil(n / BLOCK)
+            nblocks = math.ceil(n / self.block)
             if n == 0:
                 body += zf.build_block_header(zf.BLOCK_RAW, 0, last=True)
                 fhints.append(None)
@@ -253,7 +268,7 @@ class ZstdCodec:
         lives in the previous batch — must be fenced off."""
         B = len(blocks)
         Bp = max(8, 1 << max(0, (B - 1).bit_length()))
-        N = BLOCK
+        N = self.block
         parser = self._parser_kind()
         import os as _os
         import sys as _sys
@@ -408,7 +423,7 @@ class ZstdCodec:
         from libzseek_tpu.ops import huffman_plan as hp
         from libzseek_tpu.ops import pallas_entropy as pe
         Bp = seqs["n_seq"].shape[0]
-        N = BLOCK
+        N = self.block
         S = seqs["ll"].shape[1]       # entropy kernel spans the parse cap
         lit_cap = _ceil_to(N + 64, 128)
         seq_cap = _ceil_to(9 * S + 64, 128)
@@ -471,10 +486,14 @@ class ZstdCodec:
         cap_words = self._cap_words_for(Bp * N // 4)
         flat, base_w, lw_w = compact_payload(
             lit_w, lit_bytes_dev, seq_w, seq_bytes_dev, cap_words)
+        # blocks whose rewritten offsets use repcodes 2/3 must NOT publish
+        # sequence anchors: the hint format reconstructs rep1 only
+        rep23 = jnp.sum(((seqs["offv"] == 2) | (seqs["offv"] == 3))
+                        .astype(jnp.int32), axis=1)
         parts = [seqs["lit_count"], seqs["n_seq"], seqs["const"], mode,
                  _rle, weights_packed.reshape(-1), base_w, lw_w,
                  osz.reshape(-1), sflags, norms.reshape(-1),
-                 rle_syms.reshape(-1)]
+                 rle_syms.reshape(-1), rep23]
         shapes = {"lanch": lanch.shape, "sanch": sanch.shape}
         if self.collect_hints:
             parts += [lanch.reshape(-1), sanch.reshape(-1)]
@@ -524,6 +543,7 @@ class ZstdCodec:
         sflags = take(Bp)
         norms = take(Bp * fpl.NORM_WIDTH, (Bp, fpl.NORM_WIDTH))
         rle_syms = take(Bp * 3, (Bp, 3))
+        rep23 = take(Bp)
         if self.collect_hints:
             ls = staged["shapes"]["lanch"]
             ss = staged["shapes"]["sanch"]
@@ -590,7 +610,7 @@ class ZstdCodec:
                    flat_bytes=flat_bytes, base_w=base_w, lw_w=lw_w,
                    lit_anchors=lit_anchors, sa_bits=sa_bits,
                    sa_states=sa_states, sa_rep1=sa_rep1,
-                   lit_rows=lit_rows, modes=modes,
+                   lit_rows=lit_rows, modes=modes, rep23=rep23,
                    sflags=sflags, norms=norms, rle_syms=rle_syms)
         out = self._assemble(B, lens, lit_count[:B], n_seq[:B], None,
                              modes, trees, ent, const=const[:B],
@@ -802,7 +822,7 @@ class ZstdCodec:
         from libzseek_tpu.ops import pallas_entropy as pe
         B = len(lens)
         Bp = seqs["n_seq"].shape[0]
-        N = BLOCK
+        N = self.block
         S = max(SMEM_SEQ_MIN, smax)
         lit_cap = _ceil_to(N + 64, 128)
         seq_cap = _ceil_to(9 * S + 64, 128)
@@ -879,18 +899,21 @@ class ZstdCodec:
             if mode_bits[i] & pe.MODE_RAWLIT:
                 lo = 4 * int(base_w[i])
                 lit_rows[i] = flat_bytes[lo: lo + int(lit_count[i])]
+        rep23 = np.asarray(jnp.sum(
+            ((seqs["offv"] == 2) | (seqs["offv"] == 3)).astype(jnp.int32),
+            axis=1))
         return dict(sizes4=sizes4, seq_sizes=seq_sizes,
                     flat_bytes=flat_bytes, base_w=base_w, lw_w=lw_w,
                     lit_anchors=lit_anchors, sa_bits=sa_bits,
                     sa_states=sa_states, sa_rep1=sa_rep1, lit_rows=lit_rows,
-                    modes=modes)
+                    modes=modes, rep23=rep23)
 
     def _entropy_xla(self, seqs, lens, lit_count, n_seq, modes, trees,
                      ests, code_vals, code_bits, smax, mark):
         """XLA entropy kernels (CPU tests / interpret / big-seq fallback)."""
         B = len(lens)
         Bp = seqs["n_seq"].shape[0]
-        N = BLOCK
+        N = self.block
         # Rows already decided non-Huffman (raw/RLE/none) are masked out of
         # the literal kernel — they would otherwise inflate lcap to the
         # block size (incompressible rows) and the packing cost with it.
@@ -964,11 +987,14 @@ class ZstdCodec:
             picked = np.asarray(seqs["literals"][jnp.asarray(need_rows)])
             lit_rows = {r: picked[k][: int(lit_count[r])]
                         for k, r in enumerate(need_rows)}
+        rep23 = np.asarray(jnp.sum(
+            ((seqs["offv"] == 2) | (seqs["offv"] == 3)).astype(jnp.int32),
+            axis=1))
         return dict(sizes4=sizes4, seq_sizes=seq_sizes,
                     flat_bytes=flat_bytes, base_w=base_w, lw_w=lw_w,
                     lit_anchors=lit_anchors, sa_bits=sa_bits,
                     sa_states=sa_states, sa_rep1=sa_rep1, lit_rows=lit_rows,
-                    modes=modes)
+                    modes=modes, rep23=rep23)
 
     @staticmethod
     def _seq_table_desc(ent, i) -> bytes:
@@ -1069,11 +1095,13 @@ class ZstdCodec:
             ns = int(n_seq[i])
             seq_sec = _nbseq_header(ns)
             seq_h = None
+            rep23 = ent.get("rep23")
             if ns > 0:
                 seq_sec += self._seq_table_desc(ent, i)
                 lo = 4 * int(base_w[i] + lw_w[i])
                 seq_sec += flat_bytes[lo: lo + int(seq_sizes[i])].tobytes()
-                if sa_bits is not None:
+                if sa_bits is not None and \
+                        not (rep23 is not None and rep23[i]):
                     sA = SEQ_ANCHOR_INTERVAL
                     na = max(0, -(-ns // sA) - 1)
                     seq_h = hints.SeqAnchors(
