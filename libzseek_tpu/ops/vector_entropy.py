@@ -419,11 +419,14 @@ def _vector_post(words, fix_pos, fix_val, lit_cap: int):
     lo = (v << s).astype(jnp.int32)
     hi = ((v >> (jnp.uint32(31) - s)) >> 1).astype(jnp.int32)
     rows = jnp.arange(B)[:, None]
-    flat = flat.at[rows, jnp.clip(wl, 0, LITW - 1)].add(
-        jnp.where(fix_val > 0, lo, 0))
-    flat = flat.at[rows, jnp.clip(wl + 1, 0, LITW - 1)].add(
-        jnp.where(fix_val > 0, hi, 0))
-    return flat.astype(jnp.uint32)
+    # ONE flat 1-D scatter-add (a (B, K) 2-D scatter lowered ~2 ms here)
+    idx = (rows * LITW + jnp.clip(wl, 0, LITW - 2)).reshape(-1)
+    upd_lo = jnp.where(fix_val > 0, lo, 0).reshape(-1)
+    upd_hi = jnp.where(fix_val > 0, hi, 0).reshape(-1)
+    flat = flat.reshape(-1)
+    flat = flat.at[jnp.concatenate([idx, idx + 1])].add(
+        jnp.concatenate([upd_lo, upd_hi]))
+    return flat.reshape(B, LITW).astype(jnp.uint32)
 
 
 def vector_literals(x, lit_mask_words, codes_packed, lens, vec_row,
