@@ -359,17 +359,19 @@ def _vector_prep(x, lit_mask_words, codes_packed, lens, vec_row,
         return (valT[:, :1, :1] + posT[:, :1, :1] + entries[:, :, :1]
                 + fix_pos[:, :1] + fix_val[:, :1],) * 9
 
-    # ---- anchors: per-128-byte-chunk partial bit sums ----
-    # A 128-byte chunk can hold at most 3 distinct (stream, bucket) keys:
-    # its starting key k0, k0+1 (one 512-literal bucket crossing), and a
-    # stream change to k1 = s*64 (the vector gate guarantees sq >= 128
-    # literals, so two stream changes — or a bucket crossing after a
-    # stream change — cannot fit in 128 bytes).  Exact 3-key partials:
+    # ---- anchors: per-512-byte-chunk partial bit sums ----
+    # A 512-byte chunk can hold at most 3 distinct (stream, bucket) keys:
+    # its starting key k0, k0+1 (one 512-literal bucket crossing —
+    # crossings are >= 512 literals, hence >= 512 bytes, apart), and a
+    # stream change to k1 = s*64 (the vector gate guarantees
+    # sq >= 4*SUP_BYTES literals, so two stream changes — or a bucket
+    # crossing after a stream change — cannot fit).  Exact 3-key
+    # partials:
     srank = rank - sid * sq[:, None]
     key = jnp.where(mask, sid * 64 + jnp.minimum(srank >> 9, 63), 9999)
-    CH = N // 128
-    keych = key.reshape(B, CH, 128)
-    lnch = ln.reshape(B, CH, 128)
+    CH = N // 512
+    keych = key.reshape(B, CH, 512)
+    lnch = ln.reshape(B, CH, 512)
     k0 = jnp.min(keych, axis=2)
     ktot = jnp.sum(lnch, axis=2)
     p0 = jnp.sum(jnp.where(keych == k0[:, :, None], lnch, 0), axis=2)

@@ -106,7 +106,9 @@ def chain_to(which, dep):
     if which == "fseplan":
         return sflags[0] + norms[0, 0]
     from libzseek_tpu.ops import vector_entropy as ve
-    use_vec = os.environ.get("ZN_VECLIT") == "on" and "lit_mask" in seqs
+    # default ON: production's adaptive hint starts True (zstd_codec)
+    use_vec = os.environ.get("ZN_VECLIT", "on") != "off" \
+        and "lit_mask" in seqs
     if use_vec:
         vec_mask = (((mode_bits & pe.MODE_HUF) != 0)
                     & ((mode_bits & pe.MODE_HUF1) == 0)
