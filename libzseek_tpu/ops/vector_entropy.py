@@ -210,7 +210,12 @@ def _lookup_codes(x, codes_packed):
 def _vector_prep(x, lit_mask_words, codes_packed, lens, vec_row,
                  lit_cap: int, upto: str = "all"):
     """Everything before the kernel.  Returns the kernel inputs plus the
-    host-side fix-up data and the per-stream sizes/anchors."""
+    host-side fix-up data and the per-stream sizes/anchors.
+
+    `upto` ("pos"/"entries"/"transpose"/"fix") early-returns a dummy
+    9-tuple whose first element forces that stage prefix — stage-cost
+    attribution for the profiling tools (XLA DCEs untouched outputs);
+    production always uses "all"."""
     B, N = x.shape
     assert N == N_BLOCK, N
     pos_idx = np.arange(N, dtype=np.int32)[None, :]
