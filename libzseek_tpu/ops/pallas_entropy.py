@@ -501,10 +501,17 @@ def _entropy_kernel(words, sll, sml, soff, meta, codes, pcodes, tabs, ctab,
             mlb = tabs[0, 0, O["ml_bits"] + mlc]
             mlv = (ml_v - tabs[0, 0, O["ml_base"] + mlc]).astype(jnp.uint32)
             ofvx = (of_v - (1 << ofc)).astype(jnp.uint32)
-            bst = push(seq_o, bst, bv_of, nb_of)
-            bst = push(seq_o, bst, bv_ml, nb_ml)
-            bst = push(seq_o, bst, bv_ll, nb_ll)
-            bst = push(seq_o, bst, llv, llb)
+            # merged pushes (same bits, fewer issue-bound loop ops):
+            # of+ml state bits <= 8+9 = 17 and ll state + ll extra
+            # <= 9+16 = 25, both under the pusher's 31-bit limit;
+            # ml extra (<=16) + offset extra (<=17) can reach 33, so
+            # those two stay separate
+            bst = push(seq_o, bst,
+                       bv_of | (bv_ml << nb_of.astype(jnp.uint32)),
+                       nb_of + nb_ml)
+            bst = push(seq_o, bst,
+                       bv_ll | (llv << nb_ll.astype(jnp.uint32)),
+                       nb_ll + llb)
             bst = push(seq_o, bst, mlv, mlb)
             bst = push(seq_o, bst, ofvx, ofc)
             pb = bst[1] + (bst[2] << 5)  # total bits pushed = 32*w + nb
