@@ -78,27 +78,36 @@ def assign_kraft(hist: jnp.ndarray) -> jnp.ndarray:
     # --- bulk grow rounds -------------------------------------------------
     # The deficit after floor assignment is typically hundreds of units;
     # retiring it one doubling per while_loop iteration costs ~0.3 ms per
-    # iteration on TPU.  Instead, each round sorts symbols by
-    # bits-saved-per-Kraft-unit and accepts every doubling whose
-    # cumulative cost fits the remaining deficit — O(1) rounds retire
-    # almost the whole deficit, and the exact single-move loop below only
-    # finishes the last few units.
+    # iteration on TPU.  Each round accepts every doubling whose
+    # bits-saved-per-Kraft-unit clears a per-row threshold, with the
+    # threshold found by binary search so the accepted set's total cost
+    # fits the remaining deficit.  (An argsort + prefix-sum formulation
+    # is the greedier classic, but two (B,256) sorts cost ~0.5 ms EACH on
+    # TPU — the search is ~20 dense passes over 16K elements, ~free; the
+    # exact single-move loop below finishes whatever either leaves.)
     def bulk_round(k, _):
-        D = TAB - jnp.sum(k, axis=1)
+        D = jnp.maximum(TAB - jnp.sum(k, axis=1), 0).astype(jnp.float32)
         kf = jnp.maximum(k, 1).astype(jnp.float32)
         elig = (k > 0) & (k < (1 << 10))
         prio = jnp.where(elig, histf / kf, neg_inf)
-        order = jnp.argsort(-prio, axis=1)
-        rows = jnp.arange(k.shape[0])[:, None]
-        k_s = k[rows, order]
-        cost = jnp.where(elig[rows, order], k_s, 0)
-        cum = jnp.cumsum(cost, axis=1)
-        accept = (cost > 0) & (cum <= jnp.maximum(D, 0)[:, None])
-        newk_s = jnp.where(accept, k_s * 2, k_s)
-        inv = jnp.argsort(order, axis=1)
-        return newk_s[rows, inv], 0
+        cost = jnp.where(elig, k, 0).astype(jnp.float32)
+        hi0 = jnp.max(jnp.where(elig, prio, 0.0), axis=1) + 1.0
 
-    k, _ = jax.lax.scan(bulk_round, k, None, length=6)
+        def bs(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            c = jnp.sum(jnp.where(prio >= mid[:, None], cost, 0.0),
+                        axis=1)
+            ok = c <= D
+            return jnp.where(ok, lo, mid), jnp.where(ok, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(
+            0, 24, bs, (jnp.zeros_like(hi0), hi0))
+        accept = elig & (prio >= hi[:, None])
+        # the accepted set's cost fits D by construction of `hi`
+        return jnp.where(accept, k * 2, k), 0
+
+    k, _ = jax.lax.scan(bulk_round, k, None, length=8)
 
     def body(state):
         k, it = state
@@ -165,7 +174,32 @@ def assign_kraft(hist: jnp.ndarray) -> jnp.ndarray:
                   1 << jnp.clip(12 - L, 1, 11)[:, None],
                   1 << jnp.clip(11 - L, 0, 10)[:, None]),
         0)
-    return jnp.where(bad[:, None], k_bal, k)
+    k = jnp.where(bad[:, None], k_bal, k)
+
+    # A perfectly FLAT code over > 127 symbols (possible from the
+    # balanced fallback when m is a power of two, or from the threshold
+    # bulk rounds on near-uniform histograms) is valid Huffman but
+    # unserializable in zstd's tree formats: direct weights cap at 127
+    # symbols and FSE-coded weights need >= 2 distinct symbols.  Break
+    # the tie Kraft-neutrally: double the most frequent symbol's k,
+    # halve the two least frequent.
+    used_k = k > 0
+    kmax = jnp.max(jnp.where(used_k, k, 0), axis=1)
+    kmin = jnp.min(jnp.where(used_k, k, 1 << 30), axis=1)
+    flat_bad = (m > 127) & (kmax == kmin) & (kmin >= 2) & \
+        (kmax < (1 << 10))
+    top = jnp.argmax(jnp.where(used_k, hist, -1), axis=1)
+    oh_top = jax.nn.one_hot(top, k.shape[1], dtype=bool)
+    b1 = jnp.argmin(jnp.where(used_k & ~oh_top, hist, 1 << 30), axis=1)
+    oh_b1 = jax.nn.one_hot(b1, k.shape[1], dtype=bool)
+    b2 = jnp.argmin(jnp.where(used_k & ~oh_top & ~oh_b1, hist, 1 << 30),
+                    axis=1)
+    fb = flat_bad[:, None]
+    k = jnp.where(fb & oh_top, k * 2, k)
+    k = jnp.where(fb & (oh_b1 | jax.nn.one_hot(b2, k.shape[1],
+                                               dtype=bool)),
+                  k // 2, k)
+    return k
 
 
 @jax.jit
